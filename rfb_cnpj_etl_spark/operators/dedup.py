@@ -1,0 +1,378 @@
+"""Keyed dedup operators — the CDC core plus document-level near-dup.
+
+CDC side (reference parity):
+
+* ``last_writer_wins``   ← M2 window dedup (utils/db_patch.py:60-87) with
+  the CDC total order: per key keep max ``lsn`` (delete-first on ties —
+  the reference tie-broke on physical ctid, which has no Spark analog;
+  SURVEY §7.4.2).
+* ``first_writer_wins``  ← M1 ``INSERT OR IGNORE`` intent
+  (db/sqlite_loader.py:56).
+* ``prioritized_dedup``  ← M2's exact semantic: prefer rows with a
+  non-empty payload column, then the total order.
+
+Training-data side (documents table): exact, n-gram Jaccard, MinHash-LSH
+and SimHash near-duplicate detection — all expressed as DataFrame
+compositions (shuffle-conscious: LSH turns the O(n²) pair space into a
+band-bucket equi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schema import OP_DELETE
+
+# ---------------------------------------------------------------------------
+# CDC dedup
+# ---------------------------------------------------------------------------
+
+
+def _order_cols(lsn_col: str, delete_first_col: str | None) -> list[Column]:
+    order = [F.col(lsn_col).desc()]
+    if delete_first_col:
+        # total order on (lsn DESC, delete-before-upsert): a delete and an
+        # upsert sharing an LSN resolve to the delete, deterministically.
+        order.append(
+            F.when(F.col(delete_first_col) == OP_DELETE, 0).otherwise(1).asc()
+        )
+    return order
+
+
+def last_writer_wins(
+    df: DataFrame,
+    keys: list[str],
+    lsn_col: str = "lsn",
+    op_col: str | None = "op",
+) -> DataFrame:
+    """Per key keep the row with the highest LSN (the CDC watermark
+    dedup). One shuffle on the key columns; Catalyst plans a single
+    window exchange."""
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(lsn_col, op_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def first_writer_wins(
+    df: DataFrame, keys: list[str], lsn_col: str = "lsn"
+) -> DataFrame:
+    """Per key keep the row with the lowest LSN (INSERT OR IGNORE intent,
+    db/sqlite_loader.py:56)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def prioritized_dedup(
+    df: DataFrame,
+    keys: list[str],
+    prefer_nonempty: str,
+    tiebreak_col: str = "lsn",
+    tiebreak_desc: bool = True,
+) -> DataFrame:
+    """M2 exact semantic (utils/db_patch.py:60-87): per key prefer rows
+    where ``prefer_nonempty`` is non-NULL and non-blank, then the
+    deterministic tiebreak (reference: physical ctid; here: lsn).
+    """
+    pref = (
+        F.when(
+            F.col(prefer_nonempty).isNotNull()
+            & (F.trim(F.col(prefer_nonempty)) != ""),
+            0,
+        )
+        .otherwise(1)
+        .asc()
+    )
+    tie = F.col(tiebreak_col).desc() if tiebreak_desc else F.col(tiebreak_col).asc()
+    w = Window.partitionBy(*keys).orderBy(pref, tie)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def last_writer_wins_salted(
+    df: DataFrame,
+    keys: list[str],
+    lsn_col: str = "lsn",
+    op_col: str | None = "op",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-resistant LWW dedup (SURVEY §7.4.4, P7 analog).
+
+    A hot key (one repo = 50% of events) makes the plain window dedup a
+    single straggler task. Phase 1 partial-dedups within
+    ``(key, lsn % salt_buckets)`` — the hot key's rows split across
+    ``salt_buckets`` tasks, mirroring map-side partial aggregation.
+    Phase 2 runs the exact window over at most ``salt_buckets`` rows per
+    key. Same result as ``last_writer_wins`` (the max over group maxima
+    is the global max); ~1/salt_buckets the straggler size.
+    """
+    salted = df.withColumn(
+        "__salt", (F.col(lsn_col) % F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*_order_cols(lsn_col, op_col))
+    partial = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__salt")
+    )
+    return last_writer_wins(partial, keys, lsn_col, op_col)
+
+
+# ---------------------------------------------------------------------------
+# Document dedup (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per sha256 group.
+
+    Hash first so the shuffle key is a fixed-width digest, not the full
+    document — at 100 TB this is the difference between shuffling 32-byte
+    keys and shuffling the corpus.
+    """
+    hashed = df.withColumn("__h", F.sha2(F.col(content_col), 256))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+
+
+def _shingles(col: Column, k: int) -> Column:
+    """Distinct word k-shingles of a text column as array<string>."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (so only pairs sharing ≥1 shingle are ever materialized),
+    count common shingles per pair, then Jaccard = |∩| / (|A|+|B|-|∩|).
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The shingle join is
+    the scalable formulation — no O(n²) cross join; at 100 TB you bound
+    fanout further by MinHash-LSH (below).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(content_col), k)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_signature(col: Column, k: int, num_hashes: int) -> Column:
+    """array<bigint> MinHash signature from word k-shingles.
+
+    Hash family: xxhash64(shingle, seed=i) for i in 0..num_hashes-1 —
+    deterministic, JVM-side, no Python.
+    """
+    sh = _shingles(col, k)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs, verified by signature
+    similarity.
+
+    shingle → minhash signature (num_hashes) → split into ``bands`` bands
+    of r = num_hashes/bands rows → bucket-join on (band_id, band_hash) →
+    estimate Jaccard as fraction of agreeing minhashes → filter.
+    The band join is the scale path: candidate pairs only, never n².
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _minhash_signature(F.col(content_col), k, num_hashes).alias("sig"),
+    ).cache()
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def simhash_table(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """(id, sh): 64-bit SimHash of word k-shingles per document.
+
+    Fully JVM plan: shingle hashing via explode + xxhash64 (codegen'd),
+    then the 64-bit vote tally as 64 conditional-sum aggregates in ONE
+    groupBy — Catalyst plans a hash aggregate with map-side partial
+    aggregation, so the shuffle carries 64 ints per doc, not the
+    shingles. No Python anywhere.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(content_col), k)).alias("sh_txt"),
+    ).select("id", F.xxhash64("sh_txt").alias("h"))
+
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    packed = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return votes.select("id", packed.alias("sh"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with banding on 16-bit blocks.
+
+    Pigeonhole: if hamming(a,b) ≤ 3 then at least one of 4 16-bit blocks
+    is identical → equi-join on (block_id, block_value), verify hamming
+    via bit_count(xor). Returns (id_a, id_b, hamming).
+    """
+    sh = simhash_table(df, content_col, id_col).cache()
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    blocked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("sh", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "sh", "bv.blk", "bv.val")
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), ["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path is an
+LSH/IVF-style bucketed variant that prunes the candidate space with a
+coarse quantizer before the exact rerank — both pure DataFrame
+compositions (dot products via ``F.zip_with`` + ``F.aggregate``,
+JVM-side; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, window top-k per query.
+
+    Returns (q_id, vec_id, score, rank). The corpus-side scan
+    parallelizes across partitions; the only shuffle is the final
+    per-query top-k (tiny: k rows per query per partition after the
+    window's partial ordering).
+    """
+    pairs = corpus.crossJoin(
+        F.broadcast(queries.select(F.col(q_id), F.col(q_vec)))
+    ).withColumn("score", cosine(F.col(c_vec), F.col(q_vec)))
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+
+def _bucket_of(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane → integer."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (driver-side, tiny, broadcast as
+    literals into the plan)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets prune the
+    candidate space (equi-join on bucket id instead of a cross join),
+    then exact cosine rerank within candidates.
+
+    With 2^n_planes buckets the pair space shrinks ~2^n_planes×; recall
+    is tunable via n_planes (fewer planes = bigger buckets = higher
+    recall). This is the 100 TB path: the bucket join shuffles on a
+    small int key and never materializes the full pair space.
+    """
+    planes = deterministic_planes(dim, n_planes, seed)
+    cb = corpus.withColumn("__bucket", _bucket_of(F.col(c_vec), planes))
+    qb = queries.withColumn("__bucket", _bucket_of(F.col(q_vec), planes))
+    pairs = cb.join(F.broadcast(qb), "__bucket").withColumn(
+        "score", cosine(F.col(c_vec), F.col(q_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )

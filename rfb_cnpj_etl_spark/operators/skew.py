@@ -1,0 +1,66 @@
+"""Skew handling — salted repartition for hot keys (SURVEY P7).
+
+The reference's only skew knob is a smaller batch size for its one hot
+table (``config.py:31-34``). At cluster scale a hot repo (one key = 50%
+of events) turns any key-hash shuffle into a single straggler task. AQE
+rebalances *joins* at runtime but not window/write partitioning, so the
+engine salts explicitly:
+
+* ``add_salt`` / ``salted_repartition`` — spread one key over N subkeys.
+* ``hot_keys`` — find keys above a frequency threshold (sampled).
+* two-phase dedup lives in ``dedup.last_writer_wins_salted``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def add_salt(
+    df: DataFrame, salt_col: str = "__salt", buckets: int = 16, from_col: str | None = None
+) -> DataFrame:
+    """Deterministic salt in [0, buckets): hash of a monotonic column if
+    given (reproducible across retries — critical for exactly-once),
+    else a per-row random would break idempotent replay, so a
+    deterministic hash over all columns is used instead."""
+    if from_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(from_col)), F.lit(buckets))
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    return df.withColumn(salt_col, salt.cast("int"))
+
+
+def salted_repartition(
+    df: DataFrame, keys: list[str], buckets: int = 16, from_col: str | None = "lsn"
+) -> DataFrame:
+    """Repartition by (keys…, salt): a key owning 50% of rows now spans
+    ``buckets`` partitions instead of one."""
+    salted = add_salt(df, buckets=buckets, from_col=from_col)
+    return salted.repartition(*[F.col(k) for k in keys], F.col("__salt")).drop(
+        "__salt"
+    )
+
+
+def hot_keys(
+    df: DataFrame, keys: list[str], threshold_fraction: float = 0.05
+) -> DataFrame:
+    """Keys holding more than ``threshold_fraction`` of all rows.
+
+    Single aggregation + scalar subquery-free total via a cross-joined
+    broadcast count (one extra tiny stage)."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    total = df.count()
+    return counts.filter(F.col("n") >= F.lit(threshold_fraction) * F.lit(total))
+
+
+def partition_histogram(df: DataFrame) -> DataFrame:
+    """Rows per physical partition — the per-partition ingested-row
+    metric recorded into the checkpoint manifest (north_rule) and used by
+    skew tests to assert salting balanced the load."""
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("rows"))
+        .orderBy("__pid")
+    )

@@ -1,0 +1,448 @@
+"""Query library — the reference's documented query surface (SURVEY
+§2.5 Q1–Q10, from ``docs/exemplos/query_sqlite.md:10-73``) re-expressed
+Spark-first over the driver's synthetic tables, plus the CDC-shaped and
+training-data queries the graft adds.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match its DuckDB oracle twin in ``__spark_entry__.
+oracle_sql()`` exactly (the driver hash-compares values after sorting by
+column name).
+
+Scale notes are inline: joins to dimension-sized tables are broadcast,
+aggregates are partial-before-shuffle by construction (Catalyst), and
+every collect_list that feeds a string agg is sorted for determinism
+(GROUP_CONCAT order is unspecified in the reference engines — SURVEY
+§7.4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalize as N
+from ..functions import text as TX
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators.audit import fk_orphans
+from ..operators.explode import explode_delimited
+from ..sources.changelog import changelog_from_events
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC family (over the changelog derived from `events`)
+# ---------------------------------------------------------------------------
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LWW replay result: the M2 window dedup with the CDC total
+    order (lsn DESC), deletes applied. One shuffle on the key."""
+    log = changelog_from_events(spark, sf_dir)
+    winners = D.last_writer_wins(log, ["repo", "path"])
+    return winners.filter(F.col("op") != "delete").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "lsn",
+        N.content_sha256("content").alias("content_sha256"),
+    )
+
+
+def cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 INSERT OR IGNORE intent: keep the first event per key."""
+    log = changelog_from_events(spark, sf_dir)
+    return D.first_writer_wins(log, ["repo", "path"]).select(
+        "repo", "path", "commit", "lang", "content", "lsn", "op"
+    )
+
+
+def cdc_prioritized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 exact semantic: prefer rows with a non-empty payload, then
+    highest LSN (reference: razao_social priority then ctid,
+    utils/db_patch.py:60-87). 'view' events play the blank-payload role."""
+    log = changelog_from_events(spark, sf_dir).withColumn(
+        "payload", F.when(F.col("lang") == "view", F.lit("")).otherwise(F.col("content"))
+    )
+    return D.prioritized_dedup(log, ["repo", "path"], "payload").select(
+        "repo", "path", "payload", "lsn"
+    )
+
+
+def cdc_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-replay per-repo rollup (count/sum/min/max over final state)."""
+    state = cdc_final_state(spark, sf_dir)
+    return (
+        state.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.max("lsn").alias("max_lsn"),
+            F.min("lsn").alias("min_lsn"),
+            F.sum(F.length("content")).alias("total_bytes"),
+        )
+        .orderBy("repo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational family (reference Q1–Q10 over the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style aggregate battery (TPC-H Q1 shape): partial agg map-side
+    then one shuffle on the two low-cardinality group keys."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship documented query re-shaped (docs/exemplos/
+    query_sqlite.md:10-73): fact⋈fact join + broadcast dim left-joins +
+    correlated-string-agg decorrelated + CASE decodes + predicates +
+    top-k. Orders=estabelecimento, customer=empresa, nation/region=dims,
+    lineitem parts=secondary CNAEs.
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+
+    # Q3 decorrelated: per-order sorted string agg of part names
+    parts_per_order = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("p_name")), " / ").alias(
+                "part_names"
+            )
+        )
+    )
+
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)  # Q1 fact⋈fact
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .join(parts_per_order, orders.o_orderkey == parts_per_order.l_orderkey, "left")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")  # Q7 predicates
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select(
+            F.col("o_orderkey"),
+            F.upper(F.col("c_name")).alias("customer"),  # Q5 string fns
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation"),
+            F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region"),
+            F.when(F.col("o_orderstatus") == "O", F.lit("OPEN"))  # Q4 CASE
+            .when(F.col("o_orderstatus") == "F", F.lit("FINISHED"))
+            .otherwise(F.lit("OTHER"))
+            .alias("status_desc"),
+            F.date_format(F.col("o_orderdate"), "dd/MM/yyyy").alias("order_date_br"),
+            F.col("o_totalprice").alias("total_price"),
+            F.coalesce(F.col("part_names"), F.lit("")).alias("part_names"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())  # Q8 top-k
+        .limit(20)
+    )
+
+
+def q3_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 in isolation: GROUP_CONCAT/STRING_AGG decorrelated into
+    groupBy + sorted collect_list (docs/exemplos/query_sqlite.md:24-31)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("p_brand")), " / ").alias(
+                "brands"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q4_case_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 CASE decode battery over events (matriz/filial-style decode)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.when(F.col("event_type") == "purchase", "COMPRA")
+            .when(F.col("event_type") == "view", "VISUALIZACAO")
+            .when(F.col("event_type") == "click", "CLIQUE")
+            .otherwise("OUTRO")
+            .alias("tipo"),
+            F.col("value"),
+        )
+        .groupBy("tipo")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("tipo")
+    )
+
+
+def q6_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 date scalar fns: dd/MM/yyyy rendering + month rollup."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.date_format("o_orderdate", "dd/MM/yyyy").alias("date_br"),
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("date_br").alias("first_date_br"))
+        .orderBy("month")
+    )
+
+
+def q7_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7+Q8: predicates (isin/between) + ORDER BY + LIMIT →
+    TakeOrderedAndProject (no full sort)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(500.0, 50000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+def q9_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: multi-file parts of one logical table → UNION ALL then agg
+    (the reference routes Empresas0..9.zip into one table)."""
+    orders = t(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return (
+        lo.unionByName(hi)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 analog: lineitem rows whose order is missing (anti-join).
+    Driver data is referentially intact, so we knock out a slice of
+    orders first to make the audit do real work."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 != 0)
+    return (
+        fk_orphans(li, orders, "l_orderkey", "o_orderkey")
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders that have at least one lineitem
+    shipped after a date."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue (window frame agg)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (window row_number ≤ k)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 explode shape: split text on the delimiter, trim, drop empties,
+    count elements (the estabelecimento_cnae_sec derivation,
+    db_batch_producer.py:61-72 — over documents.text)."""
+    docs = t(spark, sf_dir, "documents")
+    words = explode_delimited(docs, ["doc_id"], "text", "word", " ")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization family (T1–T5, M4–M5 with synthesized dirty inputs)
+# ---------------------------------------------------------------------------
+
+
+def norm_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 over synthesized YYYYMMDD strings w/ sentinel injection."""
+    orders = t(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("00000000"))
+        .when(F.col("o_orderkey") % 89 == 0, F.lit("0"))
+        .when(F.col("o_orderkey") % 83 == 0, F.lit(""))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("raw_date"),
+    )
+    return dirty.select(
+        "o_orderkey", "raw_date", N.normalize_date("raw_date").alias("clean_date")
+    )
+
+
+def norm_numeric_br(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 over synthesized BR-decimal strings ('1.234,50' shapes)."""
+    orders = t(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("1."), F.col("o_orderkey").cast("string"), F.lit(",50")
+        ).alias("raw_val"),
+    )
+    return dirty.select(
+        "o_orderkey",
+        "raw_val",
+        N.normalize_numeric_br_decimal("raw_val").alias("clean_val"),
+    )
+
+
+def sanitize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 over padded customer names."""
+    cust = t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        "c_custkey", F.concat(F.lit("  "), F.col("c_name"), F.lit("   ")).alias("raw_name")
+    )
+    return dirty.select("c_custkey", N.sanitize("raw_name").alias("clean_name"))
+
+
+def zero_pad_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 LPAD patch shape over nation codes."""
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_name",
+        N.zero_pad(F.col("n_nationkey").cast("string"), 3).alias("code3"),
+    ).orderBy("n_name")
+
+
+def content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row invariant: sha256 over documents.text."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", N.content_sha256("text").alias("sha"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data family (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest doc_id per sha256(text) group."""
+    docs = t(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "text", "doc_id").select("doc_id", "text")
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + surface stats per document."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(TX.tokens("text"))).alias("n_distinct_tokens"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language ID + fingerprint (heuristics are
+    engine-defined → rows-only driver check; exactness covered in pytest)."""
+    docs = t(spark, sf_dir, "documents")
+    return TX.with_text_features(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"
+    )
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs ≥ 0.5 via inverted-index join."""
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dups (xxhash64 family → rows-only)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "text", "doc_id", k=3, num_hashes=16, bands=4)
+
+
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit sketch)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 of the first 3 vectors vs the corpus.
+    Scores rounded to 6dp so the oracle hash is float-noise-free."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = SIM.brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "q_id", "vec_id", F.round(F.col("score"), 6).alias("score"), "rank"
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (the 100 TB path; rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = SIM.lsh_topk(queries, emb, k=5, dim=64, n_planes=3)
+    return out.select(
+        "q_id", "vec_id", F.round(F.col("score"), 6).alias("score"), "rank"
+    )
