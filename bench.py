@@ -1,0 +1,136 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+* headline queries from __spark_entry__.queries() run at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+  local[$SPARK_GRAFT_CPUS] (default 32), each timed to a noop sink
+  (full materialization, no driver collect cost);
+* an end-to-end CDC replay (changelog → normalize → LWW dedup →
+  bucket-pruned MERGE → manifest) timed as events/sec — the
+  BASELINE.json target metric.
+
+`--replay-only` runs just the replay and prints its JSON (used by
+scripts/bench_scaling.py to measure two parallelism levels from clean
+JVMs for the N vs 4N scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "cdc_final_state",
+    "cdc_repo_stats",
+    "q1_pricing_summary",
+    "flagship_report",
+    "q3_group_concat",
+    "window_running_sum",
+    "topk_per_group",
+    "explode_words",
+    "dedup_exact_docs",
+    "doc_quality",
+    "ngram_jaccard_dups",
+    "minhash_dups",
+    "simhash_dups",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def get_session():
+    from rfb_cnpj_etl_spark.session import get_spark
+
+    return get_spark(
+        "bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def time_replay(spark, sf_dir: str) -> dict:
+    """End-to-end CDC apply: derive changelog from events, replay into a
+    fresh state table in micro-batches, report events/sec."""
+    from rfb_cnpj_etl_spark.engine import CdcEngine
+    from rfb_cnpj_etl_spark.sources.changelog import changelog_from_events
+
+    tmp = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        log = changelog_from_events(spark, sf_dir)
+        n_events = log.count()  # not timed: the driver knows its input size
+        eng = CdcEngine(
+            spark,
+            f"{tmp}/state",
+            f"{tmp}/manifest.jsonl",
+            salt_buckets=8,
+        )
+        t0 = time.time()
+        eng.replay(log, batch_size=max(n_events // 4, 1))
+        dt = time.time() - t0
+        return {
+            "events": int(n_events),
+            "seconds": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    replay_only = "--replay-only" in sys.argv
+    spark = get_session()
+    if replay_only:
+        print(json.dumps({"cores": CPUS, **time_replay(spark, SF_DIR)}))
+        return
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    replay = time_replay(spark, SF_DIR)
+    times["cdc_replay"] = replay["seconds"]
+    total += replay["seconds"]
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+                "cores": CPUS,
+                "cdc_events": replay["events"],
+                "cdc_events_per_sec": replay["events_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -202,18 +202,33 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_signature(col: Column, k: int, num_hashes: int) -> Column:
-    """array<bigint> MinHash signature from word k-shingles.
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures from word k-shingles.
 
-    Hash family: xxhash64(shingle, seed=i) for i in 0..num_hashes-1 —
-    deterministic, JVM-side, no Python.
+    Hash family: xxhash64(shingle, seed=i), deterministic and JVM-side.
+    Plan shape: explode shingles once, then ONE groupBy with
+    ``num_hashes`` min() aggregates — the shingle array is built exactly
+    once per row (an inline array<expr> of array_mins would rebuild it
+    per hash lane; Catalyst's subexpression elimination doesn't reach
+    across aggregate lanes), and map-side partial aggregation means the
+    shuffle carries num_hashes longs per doc, not the shingles.
     """
-    sh = _shingles(col, k)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(content_col), k)).alias("s"),
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -235,10 +250,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        _minhash_signature(F.col(content_col), k, num_hashes).alias("sig"),
-    ).cache()
+    sig = minhash_signatures(df, content_col, id_col, k, num_hashes).cache()
     banded = sig.select(
         "id",
         "sig",

@@ -168,13 +168,20 @@ class StateTable:
             # else: every key in this bucket was deleted → bucket gone.
         shutil.rmtree(staging, ignore_errors=True)
 
-        counts = {
-            r["bucket"]: r["rows"]
-            for r in self.read_buckets(touched)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        }
+        remaining = [
+            b for b in touched if os.path.isdir(f"{self.path}/bucket={b}")
+        ]
+        counts = (
+            {
+                r["bucket"]: r["rows"]
+                for r in self.read_buckets(remaining)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            }
+            if remaining
+            else {}
+        )
         return {
             "touched_buckets": touched,
             "bucket_rows": {int(k): int(v) for k, v in counts.items()},

@@ -32,14 +32,24 @@ def add_salt(
 
 
 def salted_repartition(
-    df: DataFrame, keys: list[str], buckets: int = 16, from_col: str | None = "lsn"
+    df: DataFrame,
+    keys: list[str],
+    buckets: int = 16,
+    from_col: str | None = "lsn",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Repartition by (keys…, salt): a key owning 50% of rows now spans
-    ``buckets`` partitions instead of one."""
+    up to ``buckets`` partitions instead of one. Pass ``num_partitions``
+    to pin the shuffle width (an explicit width is exempt from AQE
+    coalescing — useful when the downstream op needs the spread)."""
     salted = add_salt(df, buckets=buckets, from_col=from_col)
-    return salted.repartition(*[F.col(k) for k in keys], F.col("__salt")).drop(
-        "__salt"
+    cols = [F.col(k) for k in keys] + [F.col("__salt")]
+    out = (
+        salted.repartition(num_partitions, *cols)
+        if num_partitions
+        else salted.repartition(*cols)
     )
+    return out.drop("__salt")
 
 
 def hot_keys(
