@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": Q.simhash_dups,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        # Multimodal family (binary payloads via mapInPandas)
+        "media_features": Q.media_features,
+        "media_frame_plan": Q.media_frame_plan,
     }
 
 
@@ -339,6 +342,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, vec_id, round(raw_score, 6) AS score, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "media_features": """
+            WITH media AS (
+              SELECT range AS media_id,
+                     CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     'payload_' || md5(CAST(range AS VARCHAR)) AS payload
+              FROM range(0, 200)
+            )
+            SELECT media_id, kind,
+                   CAST(length(payload) AS BIGINT) AS n_bytes,
+                   sha256(payload) AS payload_sha256
+            FROM media
+        """,
+        "media_frame_plan": """
+            WITH media AS (
+              SELECT range AS media_id,
+                     CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     CASE WHEN range % 3 = 2 THEN range * 500 + 1000 END AS duration_ms
+              FROM range(0, 200)
+            )
+            SELECT media_id,
+                   unnest(range(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1)))
+                     AS frame_idx,
+                   unnest(range(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1)))
+                     * 1000 AS ts_ms
+            FROM media WHERE kind = 'video'
         """,
         # doc_quality, minhash_dups, simhash_dups, ann_lsh_topk: engine-
         # defined hash families / heuristics (xxhash64 has no DuckDB twin)

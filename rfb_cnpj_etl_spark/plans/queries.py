@@ -435,6 +435,26 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through mapInPandas over a deterministic
+    synthetic media table (no media libs in this env — the decode is a
+    marked stub; sizes/hashes are real and oracle-checked)."""
+    from ..operators.multimodal import extract_media_features, synth_media
+
+    media = synth_media(spark, 200)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "payload_sha256"
+    )
+
+
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence+explode, pure Catalyst)."""
+    from ..operators.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, 200)
+    return frame_sample_plan(media, every_ms=1000)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (the 100 TB path; rows-only)."""
     emb = t(spark, sf_dir, "embeddings")

@@ -1,0 +1,114 @@
+"""Structured Streaming CDC apply + watermarked aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rfb_cnpj_etl_spark.gen import expected_final_state, synthesize_changelog
+from rfb_cnpj_etl_spark.streaming.pipeline import (
+    StreamingCdcPipeline,
+    streaming_event_stats,
+)
+
+
+def write_log_files(spark, log, out_dir, n_files):
+    """Write the changelog as n_files parquet files, ordered by lsn
+    ranges so file arrival order ≈ log order (like monthly drops)."""
+    import math
+
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    step = math.ceil((hi + 1) / n_files)
+    for i in range(n_files):
+        (
+            log.filter(F.col("lsn").between(i * step, (i + 1) * step - 1))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+
+class TestStreamingCdc:
+    def test_stream_reaches_batch_final_state(self, spark, tmp_path):
+        log = synthesize_changelog(spark, 2000, n_repos=5, n_paths=30).cache()
+        src = str(tmp_path / "log")
+        write_log_files(spark, log, src, n_files=4)
+
+        pipe = StreamingCdcPipeline(
+            spark,
+            src,
+            str(tmp_path / "state"),
+            str(tmp_path / "manifest.jsonl"),
+            str(tmp_path / "ckpt"),
+            buckets=8,
+            max_files_per_trigger=1,
+        )
+        pipe.run_until_drained()
+
+        exp = {
+            (r["repo"], r["path"]): r["content"]
+            for r in expected_final_state(log).collect()
+        }
+        got = {
+            (r["repo"], r["path"]): r["content"]
+            for r in pipe.state.read().collect()
+        }
+        assert got == exp
+        assert len(pipe.manifest.entries()) >= 1
+
+    def test_restart_continues_not_reapplies(self, spark, tmp_path):
+        log = synthesize_changelog(spark, 1000, n_repos=4, n_paths=20).cache()
+        src = str(tmp_path / "log")
+        write_log_files(spark, log.filter("lsn < 500"), src, n_files=2)
+
+        args = (
+            spark,
+            src,
+            str(tmp_path / "state"),
+            str(tmp_path / "manifest.jsonl"),
+            str(tmp_path / "ckpt"),
+        )
+        pipe = StreamingCdcPipeline(*args, buckets=8, max_files_per_trigger=1)
+        pipe.run_until_drained()
+        n_entries_first = len(pipe.manifest.entries())
+
+        # more files arrive; a NEW pipeline (restart) drains only them
+        write_log_files(spark, log.filter("lsn >= 500"), src, n_files=2)
+        pipe2 = StreamingCdcPipeline(*args, buckets=8, max_files_per_trigger=1)
+        pipe2.run_until_drained()
+
+        assert len(pipe2.manifest.entries()) > n_entries_first
+        exp = {
+            (r["repo"], r["path"]): r["content"]
+            for r in expected_final_state(log).collect()
+        }
+        got = {
+            (r["repo"], r["path"]): r["content"]
+            for r in pipe2.state.read().collect()
+        }
+        assert got == exp
+
+
+class TestStreamingStats:
+    def test_watermarked_window_counts(self, spark, tmp_path):
+        agg = streaming_event_stats(
+            spark, "/root/testdata/sf0.001", watermark="1 hour", window_len="24 hours"
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ev_stats")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(
+            "SELECT event_type, sum(n) AS n FROM ev_stats GROUP BY event_type"
+        ).collect()
+        got = {r["event_type"]: r["n"] for r in out}
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        exp = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == exp
