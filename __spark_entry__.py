@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": Q.topk_per_group,
         "explode_words": Q.explode_words,
         # Normalization family (SURVEY §2.3 T1–T5, §2.4 M4–M5)
+        # Patch-pass family (SURVEY §2.4 M3/M6)
+        "static_dim_upsert": Q.static_dim_upsert,
+        "orphan_delete": Q.orphan_delete,
         "norm_dates": Q.norm_dates,
         "norm_numeric_br": Q.norm_numeric_br,
         "sanitize_strings": Q.sanitize_strings,
@@ -59,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,
         "minhash_dups": Q.minhash_dups,
         "simhash_dups": Q.simhash_dups,
+        "doc_text_features": Q.doc_text_features,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "embedding_near_dups": Q.embedding_near_dups,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         # Multimodal family (binary payloads via mapInPandas)
@@ -370,6 +376,95 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1)))
                      * 1000 AS ts_ms
             FROM media WHERE kind = 'video'
+        """,
+        "static_dim_upsert": """
+            SELECT nationkey, name FROM (
+              SELECT nationkey, name,
+                     row_number() OVER (PARTITION BY nationkey ORDER BY prio) AS rn
+              FROM (
+                SELECT n_nationkey AS nationkey, n_name AS name, 0 AS prio FROM nation
+                UNION ALL
+                SELECT * FROM (VALUES
+                  (0, 'ALGERIA-PATCHED', 1),
+                  (900, 'ATLANTIS', 1),
+                  (901, 'ELBONIA', 1)) v(nationkey, name, prio)
+              )
+            ) WHERE rn = 1
+        """,
+        "orphan_delete": """
+            SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_custkey NOT IN (7, 42, 99, 123, 256)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "doc_text_features": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> len(x) > 0) AS toks,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, toks, n_chars, alpha, n_bpe,
+                     list_transform(toks, x -> lower(x)) AS lt
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id, toks, n_chars, alpha, n_bpe,
+                len(list_filter(lt, x -> list_contains(
+                  ['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS h_de,
+                len(list_filter(lt, x -> list_contains(
+                  ['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
+                len(list_filter(lt, x -> list_contains(
+                  ['el','la','de','que','y','en','un','por','con','los'], x))) AS h_es,
+                len(list_filter(lt, x -> list_contains(
+                  ['le','la','de','et','les','des','un','une','dans','pour'], x))) AS h_fr,
+                len(list_filter(lt, x -> list_contains(
+                  ['o','a','de','que','e','do','da','em','um','para'], x))) AS h_pt
+              FROM hits
+            ),
+            feats AS (
+              SELECT doc_id,
+                len(toks) AS n_tokens,
+                n_bpe AS n_bpe_tokens,
+                greatest(h_de, h_en, h_es, h_fr, h_pt) AS m,
+                h_de, h_en, h_es, h_fr, h_pt,
+                CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN len(toks) > 0
+                     THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS distinct_ratio,
+                CASE WHEN len(toks) > 0 AND n_chars / len(toks) >= 3
+                          AND n_chars / len(toks) <= 12
+                     THEN 1.0 ELSE 0.5 END AS wl_ok
+              FROM scored
+            )
+            SELECT doc_id, n_tokens, n_bpe_tokens,
+                   CASE WHEN m = 0 THEN 'und'
+                        WHEN h_pt = m THEN 'pt'
+                        WHEN h_fr = m THEN 'fr'
+                        WHEN h_es = m THEN 'es'
+                        WHEN h_en = m THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   round((alpha_ratio + distinct_ratio + wl_ok) / 3.0, 6) AS quality
+            FROM feats
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+            FROM documents
+        """,
+        "embedding_near_dups": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
         # doc_quality, minhash_dups, simhash_dups, ann_lsh_topk: engine-
         # defined hash families / heuristics (xxhash64 has no DuckDB twin)

@@ -99,6 +99,16 @@ def fingerprint64(col: Column | str) -> Column:
     return F.xxhash64(canon)
 
 
+def fingerprint_md5(col: Column | str) -> Column:
+    """Oracle-friendly fingerprint twin of :func:`fingerprint64`: md5 of
+    the same canonicalized text (md5 exists in Spark AND DuckDB, so this
+    variant is value-checkable end to end; xxhash64 is the faster
+    engine-internal one)."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(canon)
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → documents + (token_count, bpe_tokens, lang_pred,
     quality, fingerprint) in one fused projection."""

@@ -124,38 +124,63 @@ class StateTable:
               WHEN MATCHED                   THEN UPDATE SET *
               WHEN NOT MATCHED AND op<>'delete' THEN INSERT *
 
-        The batch is deduped last-writer-wins by LSN first (salted
-        two-phase when ``salt_buckets`` is set — hot-repo skew, SURVEY
-        P7); state rows keep their stored LSN so re-applying an already
-        applied batch converges to the same state (idempotent).
+        LWW-by-LSN is associative, so state ∪ batch needs only ONE
+        keyed dedup (salted two-phase when ``salt_buckets`` is set —
+        hot-repo skew, SURVEY P7). The touched-bucket set is computed
+        from the raw batch keys (column-pruned scan + tiny distinct on
+        an int — dedup can't change which buckets a batch touches), so
+        the expensive window shuffle runs exactly once, inside the
+        write job. State rows keep their stored LSN so re-applying an
+        already applied batch converges to the same state (idempotent).
         """
-        if salt_buckets:
-            winners = last_writer_wins_salted(
-                batch, self.keys, lsn_col, op_col, salt_buckets
-            )
-        else:
-            winners = last_writer_wins(batch, self.keys, lsn_col, op_col)
-        winners = self._prepare(winners)
-
+        bucket_col = key_bucket(self.keys, self.buckets)
         touched = sorted(
-            r["bucket"] for r in winners.select("bucket").distinct().collect()
+            r["bucket"]
+            for r in batch.select(bucket_col.alias("bucket")).distinct().collect()
         )
         if not touched:
             return {"touched_buckets": [], "bucket_rows": {}, "rows": 0}
 
+        incoming = batch
+        if "bucket" not in incoming.columns:
+            incoming = incoming.withColumn("bucket", bucket_col)
         if self.exists():
-            current = self.read_buckets(touched).withColumn(op_col, F.lit(OP_UPSERT))
-            merged = current.unionByName(winners, allowMissingColumns=True)
-            final = last_writer_wins(merged, self.keys, lsn_col, op_col)
+            # stored sha is recomputed post-dedup; dropping it keeps the
+            # union schema = batch schema + bucket.
+            current = (
+                self.read_buckets(touched)
+                .drop("content_sha256")
+                .withColumn(op_col, F.lit(OP_UPSERT))
+            )
+            merged = current.unionByName(incoming, allowMissingColumns=True)
         else:
-            final = winners
-        final = final.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+            merged = incoming
+        if salt_buckets:
+            final = last_writer_wins_salted(
+                merged, self.keys, lsn_col, op_col, salt_buckets
+            )
+        else:
+            final = last_writer_wins(merged, self.keys, lsn_col, op_col)
+        final = (
+            final.filter(F.col(op_col) != OP_DELETE)
+            .drop(op_col)
+            .withColumn(
+                "content_sha256",
+                F.sha2(F.col(self.content_col).cast("string"), 256),
+            )
+        )
 
-        # stage → swap (atomic per bucket dir, commit point = manifest)
+        # stage → swap (atomic per bucket dir, commit point = manifest).
+        # Repartition on the partition column first (Iceberg
+        # write.distribution-mode=hash analog): without it every write
+        # task emits a file per bucket it holds — tasks × buckets tiny
+        # files per batch; with it, one task and one file per bucket.
         staging = f"{self.path}.staging"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
-        final.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        final.repartition(self.buckets, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(staging)
 
         os.makedirs(self.path, exist_ok=True)
         for b in touched:
@@ -176,7 +201,7 @@ class StateTable:
                 r["bucket"]: r["rows"]
                 for r in self.read_buckets(remaining)
                 .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("rows"))
+                .agg(F.count("*").alias("rows"))
                 .collect()
             }
             if remaining

@@ -466,3 +466,104 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "vec_id", F.round(F.col("score"), 6).alias("score"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Patch-pass family (M3/M6) and extended text/embedding coverage
+# ---------------------------------------------------------------------------
+
+#: M3 static reference rows (utils/db_patch.py:23-57 pattern): rows the
+#: source drop is known to miss, inserted only WHEN NOT MATCHED.
+STATIC_NATION_ROWS = [
+    (0, "ALGERIA-PATCHED"),     # key exists → existing row must win
+    (900, "ATLANTIS"),          # key missing → static row lands
+    (901, "ELBONIA"),
+]
+
+
+def static_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: upsert hardcoded dimension rows with existing-first priority
+    (INSERT ... ON CONFLICT DO NOTHING, utils/db_patch.py:23-57):
+    union + window-dedup keyed on the PK, existing rows ranked first."""
+    nation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("name"),
+        F.lit(0).alias("prio"),
+    )
+    static = spark.createDataFrame(
+        STATIC_NATION_ROWS, "nationkey int, name string"
+    ).withColumn("prio", F.lit(1))
+    w = Window.partitionBy("nationkey").orderBy(F.col("prio").asc())
+    return (
+        nation.unionByName(static)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nationkey", "name")
+    )
+
+
+#: M6 hardcoded orphan keys (utils/db_patch.py:108-115 pattern).
+ORPHAN_CUSTKEYS = [7, 42, 99, 123, 256]
+
+
+def orphan_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: delete-by-key-list (DELETE ... WHERE key IN (...)) then
+    aggregate the surviving rows — the filter is a partition-prunable
+    NOT IN over a literal list, no join needed."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(~F.col("o_custkey").isin(ORPHAN_CUSTKEYS))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable text-feature battery: token counts (whitespace +
+    BPE-ish regex), language ID (stopword argmax) and quality score —
+    all pure Catalyst expressions in one fused projection."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        TX.language_id("text").alias("lang_pred"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting over canonicalized text (md5 twin of the
+    xxhash64 fingerprint so DuckDB can verify values)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp_md5"),
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a<id_b).
+
+    Exact all-pairs formulation for oracle parity; the 100 TB path is
+    the LSH-bucketed variant (ann_lsh_topk / similarity.lsh_topk) which
+    only materializes bucket-colliding candidates."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )

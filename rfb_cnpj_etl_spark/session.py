@@ -45,6 +45,10 @@ def get_spark(
         # MERGE fallback = overwrite only the key-buckets a batch touches
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # COUNT/MIN/MAX grouped by partition columns answered from
+        # parquet footers — makes the manifest's per-bucket row metrics
+        # a metadata-only job.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

