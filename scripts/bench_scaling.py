@@ -14,9 +14,10 @@ Usage::
     python scripts/bench_scaling.py                 # orchestrate both levels
     python scripts/bench_scaling.py --worker C LOG  # one timed replay (internal)
 
-Env knobs: ``SPARK_GRAFT_SCALE_EVENTS`` (default 4_000_000),
+Env knobs: ``SPARK_GRAFT_SCALE_EVENTS`` (default 8_000_000),
 ``SPARK_GRAFT_SCALE_N`` (default 8), ``SPARK_GRAFT_SCALE_RUNS``
-(default 2; best-of is reported — JVM/JIT warm-up noise suppression).
+(default 3; best-of is reported — JVM/JIT warm-up noise suppression),
+``SPARK_GRAFT_SCALE_DIR`` (work area; default ``/dev/shm/spark_scale``).
 
 The changelog is generated once by ``gen.synthesize_changelog`` (seeded,
 deterministic, 10% deletes, 10% hot-repo skew) and written to parquet
@@ -24,6 +25,13 @@ with 64 splits so both parallelism levels have full task coverage; the
 shuffle-partition count is held at 64 for both runs — on a real cluster
 the plan is fixed and only the executor count varies, and that is the
 variable under test.
+
+Why tmpfs: this sandbox has ONE disk (~350 MB/s) behind both
+parallelism levels, so disk-bound phases cannot scale with cores by
+construction. A real cluster adds local disks with every executor
+(aggregate I/O scales with N). Putting the bench work area + shuffle
+dirs on tmpfs removes the artifact this sandbox cannot model; the
+engine itself is unchanged and BASELINE.md reports this choice.
 """
 
 from __future__ import annotations
@@ -39,11 +47,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "4000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+WORK_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/dev/shm/spark_scale")
 SPLITS = 64
 SHUFFLE = 64
+
+
+def scale_conf() -> dict[str, str]:
+    return {
+        "spark.ui.showConsoleProgress": "false",
+        "spark.local.dir": f"{WORK_DIR}/local",
+    }
 
 
 def worker(cores: int, log_path: str) -> None:
@@ -55,11 +71,12 @@ def worker(cores: int, log_path: str) -> None:
         f"scaling_bench_{cores}",
         cores=cores,
         shuffle_partitions=SHUFFLE,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=scale_conf(),
     )
     log = spark.read.parquet(log_path)
     n = log.count()  # input size is known to the driver, not timed
-    tmp = tempfile.mkdtemp(prefix=f"scale_state_{cores}_")
+    os.makedirs(WORK_DIR, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"state_{cores}_", dir=WORK_DIR)
     try:
         # Untimed warm-up: a small replay into a throwaway dir exercises
         # codegen/JIT for the exact operators under test (window dedup,
@@ -143,10 +160,13 @@ def main() -> None:
     from rfb_cnpj_etl_spark.gen import synthesize_changelog
     from rfb_cnpj_etl_spark.session import get_spark
 
-    log_dir = tempfile.mkdtemp(prefix="scale_log_")
+    os.makedirs(WORK_DIR, exist_ok=True)
+    log_dir = tempfile.mkdtemp(prefix="log_", dir=WORK_DIR)
     log_path = f"{log_dir}/changelog"
     sys.stderr.write(f"generating {N_EVENTS} events -> {log_path}\n")
-    spark = get_spark("scaling_gen", cores=32, shuffle_partitions=SHUFFLE)
+    spark = get_spark(
+        "scaling_gen", cores=32, shuffle_partitions=SHUFFLE, extra_conf=scale_conf()
+    )
     synthesize_changelog(
         spark,
         N_EVENTS,
