@@ -1,0 +1,141 @@
+"""CLI — the reference's ``cnpj.py`` entry points re-mapped
+(``src/rfb_cnpj_etl/main.py:21-152`` → engine subcommands).
+
+Reference → graft:
+
+* ``db init``      → ``init``    (create empty state table + manifest)
+* ``db load``      → ``replay``  (tail changelog parquet → MERGE loop)
+* ``db patch``     → folded into the replay normalize stage (SURVEY M3-M6)
+* ``db index``     → ``audit``   (no B-trees in Spark; the analog is the
+  key-uniqueness + FK-orphan audits the reference's indexes/FKs enforce)
+* n/a              → ``verify``  (sha256 differential vs independent oracle)
+
+Run locally (master defaults to ``local[$SPARK_GRAFT_CPUS]``)::
+
+    python -m rfb_cnpj_etl_spark.cli replay --log /data/changelog \
+        --state /data/state --manifest /data/manifest.jsonl
+
+or on a cluster — package the lib and let spark-submit own the master::
+
+    spark-submit --py-files rfb_cnpj_etl_spark.zip \
+        -m rfb_cnpj_etl_spark.cli ... (SPARK_GRAFT_MASTER unset)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .engine import CdcEngine
+from .gen import expected_final_state, synthesize_changelog
+from .session import get_spark
+
+
+def _engine(args) -> CdcEngine:
+    spark = get_spark("rfb_cnpj_etl_spark_cli")
+    return CdcEngine(
+        spark,
+        args.state,
+        args.manifest,
+        buckets=args.buckets,
+        salt_buckets=args.salt_buckets,
+    )
+
+
+def cmd_init(args) -> int:
+    eng = _engine(args)
+    from .schema import CHANGELOG_SCHEMA
+
+    like = eng.spark.createDataFrame([], CHANGELOG_SCHEMA)
+    eng.state.init_empty(like)
+    print(json.dumps({"state": args.state, "initialized": True}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    eng = _engine(args)
+    log = eng.spark.read.parquet(args.log)
+    entries = eng.replay(log, batch_size=args.batch_size)
+    print(
+        json.dumps(
+            {
+                "batches_applied": sum(1 for e in entries if not e.get("skipped")),
+                "batches_skipped": sum(1 for e in entries if e.get("skipped")),
+                "high_watermark": eng.manifest.high_watermark(),
+                "rows": eng.final_state().count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    eng = _engine(args)
+    log = eng.spark.read.parquet(args.log)
+    res = eng.verify_against(expected_final_state(log))
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
+def cmd_audit(args) -> int:
+    eng = _engine(args)
+    dups = eng.state.audit_key_uniqueness()
+    print(json.dumps({"duplicate_keys": dups, "ok": dups == 0}))
+    return 0 if dups == 0 else 1
+
+
+def cmd_gen(args) -> int:
+    spark = get_spark("rfb_cnpj_etl_spark_cli")
+    synthesize_changelog(
+        spark,
+        args.events,
+        hot_repo_fraction=args.hot_fraction,
+        seed=args.seed,
+    ).write.mode("overwrite").parquet(args.log)
+    print(json.dumps({"log": args.log, "events": args.events}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rfb_cnpj_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--state", required=True)
+        sp.add_argument("--manifest", required=True)
+        sp.add_argument("--buckets", type=int, default=32)
+        sp.add_argument("--salt-buckets", type=int, default=None)
+
+    sp = sub.add_parser("init", help="create empty state table + manifest")
+    common(sp)
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("replay", help="resumable CDC replay from changelog parquet")
+    common(sp)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--batch-size", type=int, default=1_000_000)
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("verify", help="sha256 differential vs oracle final state")
+    common(sp)
+    sp.add_argument("--log", required=True)
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("audit", help="key-uniqueness audit (deferred-PK analog)")
+    common(sp)
+    sp.set_defaults(fn=cmd_audit)
+
+    sp = sub.add_parser("gen", help="seeded synthetic changelog generator")
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--hot-fraction", type=float, default=0.0)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
