@@ -63,7 +63,12 @@ class CdcEngine:
     # ------------------------------------------------------------------
 
     def apply_batch(
-        self, batch: DataFrame, batch_id: str, lsn_lo: int, lsn_hi: int
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        lsn_lo: int,
+        lsn_hi: int,
+        touched: list[int] | None = None,
     ) -> dict:
         """Normalize → dedup → MERGE → manifest-commit one micro-batch."""
         if self.manifest.is_applied(batch_id):
@@ -80,7 +85,9 @@ class CdcEngine:
             added = self.registry.evolve(merged_schema)
         if self.normalize is not None:
             batch = self.normalize(batch)
-        metrics = self.state.merge(batch, salt_buckets=self.salt_buckets)
+        metrics = self.state.merge(
+            batch, salt_buckets=self.salt_buckets, touched=touched
+        )
         entry = {
             "batch_id": batch_id,
             "lsn_lo": int(lsn_lo),
@@ -102,20 +109,46 @@ class CdcEngine:
         high watermark. Returns the committed manifest entries."""
         watermark = self.manifest.high_watermark()
         pending = changelog.filter(F.col(lsn_col) > watermark)
-        bounds = pending.agg(
-            F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
+        # Micro-batch windows are aligned on absolute LSN
+        # (window k = [k·bs, (k+1)·bs)), so batch boundaries — and hence
+        # batch_ids — are stable across resumes. ONE upfront pass
+        # computes every window's exact touched-bucket set (per-batch
+        # partition pruning without a per-batch driver job: one
+        # key+lsn-column scan instead of B small jobs at 10^10 events).
+        from .operators.merge import key_bucket
+
+        bucket_col = key_bucket(self.state.keys, self.state.buckets)
+        win = F.floor(F.col(lsn_col) / F.lit(batch_size)).cast("long")
+        pairs = (
+            pending.groupBy(win.alias("__w"), bucket_col.alias("__b"))
+            .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
+            .collect()
+        )
+        if not pairs:
             return []
-        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        wins: dict[int, dict] = {}
+        for r in pairs:
+            w = wins.setdefault(
+                int(r["__w"]), {"buckets": [], "lo": None, "hi": None}
+            )
+            w["buckets"].append(int(r["__b"]))
+            w["lo"] = int(r["__lo"]) if w["lo"] is None else min(int(r["__lo"]), w["lo"])
+            w["hi"] = int(r["__hi"]) if w["hi"] is None else max(int(r["__hi"]), w["hi"])
         entries = []
-        start = lo
-        while start <= hi:
-            end = min(start + batch_size - 1, hi)
+        for wid in sorted(wins):
+            w = wins[wid]
+            start, end = wid * batch_size, (wid + 1) * batch_size - 1
             batch = pending.filter(F.col(lsn_col).between(start, end))
-            batch_id = f"lsn_{start}_{end}"
-            entries.append(self.apply_batch(batch, batch_id, start, end))
-            start = end + 1
+            # batch_id and the manifest record the REAL lsn span (not the
+            # window bounds): a partially-filled tail window must not
+            # advance the watermark past events that haven't arrived yet,
+            # and its later events must not collide with the applied id.
+            batch_id = f"lsn_{w['lo']}_{w['hi']}"
+            entries.append(
+                self.apply_batch(
+                    batch, batch_id, w["lo"], w["hi"], touched=sorted(w["buckets"])
+                )
+            )
         return entries
 
     # ------------------------------------------------------------------

@@ -99,6 +99,35 @@ def prioritized_dedup(
     )
 
 
+def last_writer_wins_agg(
+    df: DataFrame,
+    keys: list[str],
+    lsn_col: str = "lsn",
+    op_col: str | None = "op",
+) -> DataFrame:
+    """LWW as a hash aggregate: ``max_by(row, (lsn, delete-priority))``
+    per key.
+
+    Same result as :func:`last_writer_wins` but a fundamentally better
+    physical plan for the MERGE hot path: a hash aggregate instead of a
+    sort-based window — no per-partition sort, and Catalyst's map-side
+    partial aggregation collapses every key to ONE row per map task
+    before the shuffle. That partial-agg step is also the skew story:
+    a hot key (one repo = 50% of events) reduces map-side, so no
+    explicit salting is needed on this path (the two-phase salted
+    window remains for order-sensitive dedups like prioritized_dedup).
+    """
+    prio = (
+        F.when(F.col(op_col) == OP_DELETE, 1).otherwise(0)
+        if op_col
+        else F.lit(0)
+    )
+    order_key = F.struct(F.col(lsn_col).alias("__lsn"), prio.alias("__p"))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    winners = df.groupBy(*keys).agg(F.max_by(payload, order_key).alias("__row"))
+    return winners.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
 def last_writer_wins_salted(
     df: DataFrame,
     keys: list[str],

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import CODE_KEY, OP_DELETE, OP_UPSERT
-from .dedup import last_writer_wins, last_writer_wins_salted
+from .dedup import last_writer_wins_agg
 
 
 def key_bucket(keys: list[str], buckets: int) -> Column:
@@ -107,12 +107,28 @@ class StateTable:
             )
         return out
 
+    def touched_buckets(self, batch: DataFrame) -> list[int]:
+        """Bucket set a batch touches — from the raw batch keys
+        (column-pruned scan + tiny distinct on an int; dedup cannot
+        change which buckets a batch touches)."""
+        bucket_col = key_bucket(self.keys, self.buckets)
+        return sorted(
+            r["bucket"]
+            for r in batch.select(bucket_col.alias("bucket")).distinct().collect()
+        )
+
+    #: above this many touched buckets, per-bucket observe() metrics
+    #: (one conditional sum per bucket) get bulky — fall back to a
+    #: footer-only count job (parquet aggregate pushdown).
+    OBSERVE_METRICS_MAX_BUCKETS = 256
+
     def merge(
         self,
         batch: DataFrame,
         lsn_col: str = "lsn",
         op_col: str = "op",
         salt_buckets: int | None = None,
+        touched: list[int] | None = None,
     ) -> dict:
         """Apply a changelog micro-batch. Returns manifest metrics:
         ``{"touched_buckets": [...], "bucket_rows": {b: n}, "rows": N}``.
@@ -126,18 +142,15 @@ class StateTable:
 
         LWW-by-LSN is associative, so state ∪ batch needs only ONE
         keyed dedup (salted two-phase when ``salt_buckets`` is set —
-        hot-repo skew, SURVEY P7). The touched-bucket set is computed
-        from the raw batch keys (column-pruned scan + tiny distinct on
-        an int — dedup can't change which buckets a batch touches), so
-        the expensive window shuffle runs exactly once, inside the
-        write job. State rows keep their stored LSN so re-applying an
-        already applied batch converges to the same state (idempotent).
+        hot-repo skew, SURVEY P7). The whole merge is ONE Spark job:
+        ``touched`` can be precomputed for all batches in a single
+        upfront pass (CdcEngine.replay does), stored sha256 is reused so
+        only new winners hash, and the per-bucket manifest metrics ride
+        the write job as observed metrics instead of a follow-up count.
         """
         bucket_col = key_bucket(self.keys, self.buckets)
-        touched = sorted(
-            r["bucket"]
-            for r in batch.select(bucket_col.alias("bucket")).distinct().collect()
-        )
+        if touched is None:
+            touched = self.touched_buckets(batch)
         if not touched:
             return {"touched_buckets": [], "bucket_rows": {}, "rows": 0}
 
@@ -145,30 +158,48 @@ class StateTable:
         if "bucket" not in incoming.columns:
             incoming = incoming.withColumn("bucket", bucket_col)
         if self.exists():
-            # stored sha is recomputed post-dedup; dropping it keeps the
-            # union schema = batch schema + bucket.
-            current = (
-                self.read_buckets(touched)
-                .drop("content_sha256")
-                .withColumn(op_col, F.lit(OP_UPSERT))
-            )
+            # state keeps its stored content_sha256; the batch side gets
+            # NULL (allowMissingColumns) and hashes post-dedup.
+            current = self.read_buckets(touched).withColumn(op_col, F.lit(OP_UPSERT))
             merged = current.unionByName(incoming, allowMissingColumns=True)
         else:
-            merged = incoming
-        if salt_buckets:
-            final = last_writer_wins_salted(
-                merged, self.keys, lsn_col, op_col, salt_buckets
+            merged = incoming.withColumn(
+                "content_sha256", F.lit(None).cast("string")
             )
-        else:
-            final = last_writer_wins(merged, self.keys, lsn_col, op_col)
+        # Hash-aggregate LWW (max_by): no sort, map-side partial agg —
+        # which is also the hot-key skew answer (a hot key collapses to
+        # one row per map task before the shuffle), so ``salt_buckets``
+        # is unnecessary here and kept only for API compatibility.
+        del salt_buckets
+        final = last_writer_wins_agg(merged, self.keys, lsn_col, op_col)
         final = (
             final.filter(F.col(op_col) != OP_DELETE)
             .drop(op_col)
             .withColumn(
                 "content_sha256",
-                F.sha2(F.col(self.content_col).cast("string"), 256),
+                F.coalesce(
+                    F.col("content_sha256"),
+                    F.sha2(F.col(self.content_col).cast("string"), 256),
+                ),
             )
         )
+
+        # Per-bucket row metrics observed inside the write job — no
+        # follow-up count job (V4 progress metering without extra scans).
+        obs = None
+        if len(touched) <= self.OBSERVE_METRICS_MAX_BUCKETS:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            final = final.observe(
+                obs,
+                *[
+                    F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(
+                        f"b{b}"
+                    )
+                    for b in touched
+                ],
+            )
 
         # stage → swap (atomic per bucket dir, commit point = manifest).
         # Repartition on the partition column first (Iceberg
@@ -193,23 +224,35 @@ class StateTable:
             # else: every key in this bucket was deleted → bucket gone.
         shutil.rmtree(staging, ignore_errors=True)
 
-        remaining = [
-            b for b in touched if os.path.isdir(f"{self.path}/bucket={b}")
-        ]
-        counts = (
-            {
-                r["bucket"]: r["rows"]
-                for r in self.read_buckets(remaining)
-                .groupBy("bucket")
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            }
-            if remaining
-            else {}
-        )
+        counts = None
+        if obs is not None:
+            try:
+                counts = {
+                    int(k[1:]): int(v) for k, v in obs.get.items() if v and v > 0
+                }
+            except Exception:  # noqa: BLE001
+                # AQE empty-relation propagation can eliminate the
+                # CollectMetrics node (e.g. every key deleted) — fall
+                # back to the footer-only count job below.
+                counts = None
+        if counts is None:
+            remaining = [
+                b for b in touched if os.path.isdir(f"{self.path}/bucket={b}")
+            ]
+            counts = (
+                {
+                    int(r["bucket"]): int(r["rows"])
+                    for r in self.read_buckets(remaining)
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("rows"))
+                    .collect()
+                }
+                if remaining
+                else {}
+            )
         return {
             "touched_buckets": touched,
-            "bucket_rows": {int(k): int(v) for k, v in counts.items()},
+            "bucket_rows": counts,
             "rows": int(sum(counts.values())),
         }
 

@@ -196,3 +196,24 @@ class TestEngineReplay:
         assert e["bucket_rows"] and sum(e["bucket_rows"].values()) >= e["rows"]
         assert e["lsn_lo"] == 0 and e["lsn_hi"] == 499
         assert "columns" in e and "schema_version" in e
+
+
+class TestWindowAlignment:
+    """LSN windows are aligned on absolute LSN; the manifest records the
+    REAL lsn span so a partially-filled tail window neither advances the
+    watermark past unseen events nor collides with the applied batch_id."""
+
+    def test_late_events_in_same_window_apply(self, spark, tmp_path):
+        from rfb_cnpj_etl_spark.gen import expected_final_state, synthesize_changelog
+
+        state, man = str(tmp_path / "s"), str(tmp_path / "m.jsonl")
+        log = synthesize_changelog(spark, 1000)
+        eng = CdcEngine(spark, state, man)
+        # first delivery: only lsn < 700 has arrived; window size 500 →
+        # window 1 ([500,999]) is partially filled (500..699)
+        eng.replay(log.filter("lsn < 700"), batch_size=500)
+        assert eng.manifest.high_watermark() == 699
+        # the tail arrives; same window 1 must apply its remainder
+        eng.replay(log, batch_size=500)
+        assert eng.manifest.high_watermark() == 999
+        assert eng.verify_against(expected_final_state(log))["ok"]
