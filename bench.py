@@ -87,6 +87,35 @@ def time_replay(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def time_bulk_replay(spark, n_events: int = 2_000_000) -> dict:
+    """Engine throughput at a production-shaped batch size: one batch of
+    a seeded 2M-event changelog (at the nominal 10^10 scale a micro-
+    batch is >=10^8 rows, so per-batch fixed cost is noise there — the
+    4-batch sf0.1 replay above measures the micro-batching overhead
+    instead)."""
+    from rfb_cnpj_etl_spark.engine import CdcEngine
+    from rfb_cnpj_etl_spark.gen import synthesize_changelog
+
+    tmp = tempfile.mkdtemp(prefix="bench_bulk_")
+    try:
+        synthesize_changelog(
+            spark, n_events, n_repos=200, n_paths=5000,
+            delete_ratio=0.1, hot_repo_fraction=0.1, partitions=64,
+        ).write.mode("overwrite").parquet(f"{tmp}/log")
+        log = spark.read.parquet(f"{tmp}/log")
+        eng = CdcEngine(spark, f"{tmp}/state", f"{tmp}/manifest.jsonl")
+        t0 = time.time()
+        eng.replay(log, batch_size=n_events)
+        dt = time.time() - t0
+        return {
+            "events": n_events,
+            "seconds": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     replay_only = "--replay-only" in sys.argv
     spark = get_session()
@@ -110,6 +139,9 @@ def main() -> None:
     replay = time_replay(spark, SF_DIR)
     times["cdc_replay"] = replay["seconds"]
     total += replay["seconds"]
+    bulk = time_bulk_replay(spark)
+    times["cdc_bulk_replay"] = bulk["seconds"]
+    total += bulk["seconds"]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -127,6 +159,8 @@ def main() -> None:
                 "cores": CPUS,
                 "cdc_events": replay["events"],
                 "cdc_events_per_sec": replay["events_per_sec"],
+                "cdc_bulk_events": bulk["events"],
+                "cdc_bulk_events_per_sec": bulk["events_per_sec"],
             }
         )
     )
