@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": Q.embedding_near_dups,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
         # Multimodal family (binary payloads via mapInPandas)
         "media_features": Q.media_features,
         "media_frame_plan": Q.media_frame_plan,

@@ -116,3 +116,92 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    out_col: str = "__cluster",
+) -> Column | DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine).
+
+    Centroids are driver-side literals broadcast into the plan (the
+    coarse codebook is tiny even at 100 TB — thousands of entries);
+    the argmax is the array_max-over-structs trick: one fused
+    projection, no shuffle, no Python.
+    """
+    scored = []
+    for cid, cvec in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        scored.append(
+            F.struct(cosine(F.col(vec_col), cv).alias("s"), F.lit(cid).alias("c"))
+        )
+    best = F.array_max(F.array(*scored))
+    return df.withColumn(out_col, best["c"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Build: a coarse codebook of ``n_clusters`` centroids (deterministic:
+    hash-spread corpus vectors — at scale you'd Lloyd-iterate, but
+    centroid quality only moves recall, not the plan shape); every
+    corpus vector is assigned to its nearest centroid (one projection).
+    Query: each query probes its ``nprobe`` nearest clusters and
+    brute-forces only those inverted lists — the candidate space shrinks
+    ~n_clusters/nprobe×. The probe join shuffles on a small int key;
+    the codebook and the query set are broadcast.
+    """
+    cents = [
+        (i, r[1])
+        for i, r in enumerate(
+            corpus.select(c_id, c_vec)
+            .withColumn("__h", F.xxhash64(F.col(c_id)))
+            .orderBy("__h")
+            .limit(n_clusters)
+            .collect()
+        )
+    ]
+    cb = ivf_assign(corpus, cents, c_vec)
+
+    # per query: nprobe nearest clusters → (q, cluster) probe pairs
+    probes = []
+    for cid, cvec in cents:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        probes.append(
+            F.struct(cosine(F.col(q_vec), cv).alias("s"), F.lit(cid).alias("c"))
+        )
+    qp = queries.withColumn(
+        "__cluster",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe),
+                lambda x: x["c"],
+            )
+        ),
+    )
+    pairs = cb.join(F.broadcast(qp), "__cluster").withColumn(
+        "score", cosine(F.col(c_vec), F.col(q_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )

@@ -567,3 +567,17 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.4)
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5 (coarse codebook + nprobe inverted
+    lists — the other 100 TB ANN path next to LSH; rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = SIM.ivf_topk(queries, emb, k=5, n_clusters=8, nprobe=3)
+    return out.select(
+        "q_id", "vec_id", F.round(F.col("score"), 6).alias("score"), "rank"
+    )

@@ -145,3 +145,41 @@ class TestLsh:
             .collect()
         )
         assert all(r["q_id"] == r["vec_id"] for r in top1)
+
+
+class TestIvfTopk:
+    def test_self_always_found(self, spark):
+        import pyspark.sql.functions as F
+        from rfb_cnpj_etl_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        out = ivf_topk(queries, emb, k=3, n_clusters=4, nprobe=2)
+        # a query's own vector is in its probed cluster by construction
+        # (it IS the nearest centroid's list) → rank 1, score ~1
+        top1 = {r["q_id"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+        assert top1 == {i: i for i in range(5)}
+
+    def test_recall_vs_brute_force(self, spark):
+        import pyspark.sql.functions as F
+        from rfb_cnpj_etl_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in brute_force_topk(queries, emb, k=5).collect()
+        }
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_topk(queries, emb, k=5, n_clusters=8, nprobe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
