@@ -21,8 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import StateTable
-from ..plans.checkpoint import Manifest
+from ..engine import CdcEngine
 from ..schema import CHANGELOG_SCHEMA, CODE_KEY
 
 
@@ -43,9 +42,20 @@ class StreamingCdcPipeline:
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
-        self.state = StateTable(spark, state_path, keys or CODE_KEY, buckets)
-        self.manifest = Manifest(manifest_path)
-        self.salt_buckets = salt_buckets
+        # one engine implementation for batch replay AND streaming: each
+        # epoch goes through the same normalize → MERGE → manifest path,
+        # so streaming inherits schema evolution, per-bucket metrics and
+        # the exactly-once argument verbatim.
+        self.engine = CdcEngine(
+            spark,
+            state_path,
+            manifest_path,
+            keys=keys or CODE_KEY,
+            buckets=buckets,
+            salt_buckets=salt_buckets,
+        )
+        self.state = self.engine.state
+        self.manifest = self.engine.manifest
 
     # ------------------------------------------------------------------
 
@@ -58,16 +68,8 @@ class StreamingCdcPipeline:
         bounds = batch.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
-        metrics = self.state.merge(batch, salt_buckets=self.salt_buckets)
-        self.manifest.commit(
-            {
-                "batch_id": batch_id,
-                "lsn_lo": int(bounds["lo"]),
-                "lsn_hi": int(bounds["hi"]),
-                "schema_version": 0,
-                "columns": batch.columns,
-                **metrics,
-            }
+        self.engine.apply_batch(
+            batch, batch_id, int(bounds["lo"]), int(bounds["hi"])
         )
 
     def start(self, available_now: bool = True):
