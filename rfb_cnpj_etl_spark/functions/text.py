@@ -111,12 +111,42 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → documents + (token_count, bpe_tokens, lang_pred,
-    quality, fingerprint) in one fused projection."""
-    return df.select(
-        "*",
-        token_count(text_col).alias("n_tokens"),
-        bpe_token_count(text_col).alias("n_bpe_tokens"),
-        language_id(text_col).alias("lang_pred"),
-        quality_score(text_col).alias("quality"),
-        fingerprint64(text_col).alias("fingerprint"),
+    quality, fingerprint).
+
+    Tokenization is materialized ONCE into a temp column and every
+    feature reads it — Catalyst's common-subexpression elimination does
+    not fuse identical lambda-bearing expressions across independent
+    projection items, so without this the regex split would run 4x.
+    """
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+
+    lt = F.transform(toks, lambda t: F.lower(t))
+    scored = []
+    for lang in sorted(LANG_STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(lt, lambda t: F.array_contains(sw, t)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .select(
+            *df.columns,
+            n_tok.alias("n_tokens"),
+            bpe_token_count(text_col).alias("n_bpe_tokens"),
+            F.when(best["hits"] > 0, best["lang"])
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+            ((alpha_ratio + distinct_ratio + wl_ok) / F.lit(3.0)).alias("quality"),
+            fingerprint64(text_col).alias("fingerprint"),
+        )
     )

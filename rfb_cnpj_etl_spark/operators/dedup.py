@@ -183,6 +183,10 @@ def dedup_exact(
 def _shingles(col: Column, k: int) -> Column:
     """Distinct word k-shingles of a text column as array<string>."""
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: F.length(t) > 0)
+    if k == 1:
+        # unigram fast path: the shingle set IS the distinct token set —
+        # skip the per-position slice+join entirely (simhash's case).
+        return F.array_distinct(toks)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
