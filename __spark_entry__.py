@@ -142,7 +142,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_paths,
                    max(lsn) AS max_lsn,
                    min(lsn) AS min_lsn,
-                   sum(length(content)) AS total_bytes
+                   -- DuckDB sum(BIGINT) yields HUGEINT (int128), which the
+                   -- driver's Arrow fetch renders differently from Spark's
+                   -- BIGINT — cast to the type Spark produces.
+                   CAST(sum(length(content)) AS BIGINT) AS total_bytes
             FROM state GROUP BY repo ORDER BY repo
         """,
         "q1_pricing_summary": """
@@ -286,8 +289,12 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT o_orderkey, raw_val,
-                   CAST(replace(replace(raw_val, '.', ''), ',', '.') AS DECIMAL(16,2))
-                     AS clean_val
+                   -- DOUBLE on both sides: DECIMAL(16,2) renders with
+                   -- trailing-zero differences at the driver's fetch layer
+                   -- ('1100.50' vs '1100.5'); the .50 fractions are exact
+                   -- in binary floating point, so DOUBLE is lossless here.
+                   CAST(CAST(replace(replace(raw_val, '.', ''), ',', '.')
+                        AS DECIMAL(16,2)) AS DOUBLE) AS clean_val
             FROM dirty
         """,
         "sanitize_strings": """

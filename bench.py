@@ -69,12 +69,7 @@ def time_replay(spark, sf_dir: str) -> dict:
     try:
         log = changelog_from_events(spark, sf_dir)
         n_events = log.count()  # not timed: the driver knows its input size
-        eng = CdcEngine(
-            spark,
-            f"{tmp}/state",
-            f"{tmp}/manifest.jsonl",
-            salt_buckets=8,
-        )
+        eng = CdcEngine(spark, f"{tmp}/state", f"{tmp}/manifest.jsonl")
         t0 = time.time()
         eng.replay(log, batch_size=max(n_events // 4, 1))
         dt = time.time() - t0

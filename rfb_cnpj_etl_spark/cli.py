@@ -34,13 +34,7 @@ from .session import get_spark
 
 def _engine(args) -> CdcEngine:
     spark = get_spark("rfb_cnpj_etl_spark_cli")
-    return CdcEngine(
-        spark,
-        args.state,
-        args.manifest,
-        buckets=args.buckets,
-        salt_buckets=args.salt_buckets,
-    )
+    return CdcEngine(spark, args.state, args.manifest, buckets=args.buckets)
 
 
 def cmd_init(args) -> int:
@@ -57,13 +51,16 @@ def cmd_replay(args) -> int:
     eng = _engine(args)
     log = eng.spark.read.parquet(args.log)
     entries = eng.replay(log, batch_size=args.batch_size)
+    # nothing pending + never-created state table → report 0 rows, don't
+    # blow up on a parquet read of a nonexistent path.
+    rows = eng.final_state().count() if eng.state.exists() else 0
     print(
         json.dumps(
             {
                 "batches_applied": sum(1 for e in entries if not e.get("skipped")),
                 "batches_skipped": sum(1 for e in entries if e.get("skipped")),
                 "high_watermark": eng.manifest.high_watermark(),
-                "rows": eng.final_state().count(),
+                "rows": rows,
             }
         )
     )
@@ -85,6 +82,28 @@ def cmd_audit(args) -> int:
     return 0 if dups == 0 else 1
 
 
+def cmd_rebucket(args) -> int:
+    eng = _engine(args)
+    entry = eng.rebucket(args.to_buckets)
+    print(
+        json.dumps(
+            {
+                "rebucket_from": entry["rebucket_from"],
+                "rebucket_to": entry["rebucket_to"],
+                "rows": entry["rows"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    eng = _engine(args)
+    res = eng.state.compact(target_files_per_bucket=args.files_per_bucket)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_gen(args) -> int:
     spark = get_spark("rfb_cnpj_etl_spark_cli")
     synthesize_changelog(
@@ -104,8 +123,9 @@ def main(argv: list[str] | None = None) -> int:
     def common(sp):
         sp.add_argument("--state", required=True)
         sp.add_argument("--manifest", required=True)
-        sp.add_argument("--buckets", type=int, default=32)
-        sp.add_argument("--salt-buckets", type=int, default=None)
+        # default None = take the bucket count from the manifest (after a
+        # rebucket) or fall back to 32 for a fresh table.
+        sp.add_argument("--buckets", type=int, default=None)
 
     sp = sub.add_parser("init", help="create empty state table + manifest")
     common(sp)
@@ -125,6 +145,21 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("audit", help="key-uniqueness audit (deferred-PK analog)")
     common(sp)
     sp.set_defaults(fn=cmd_audit)
+
+    sp = sub.add_parser(
+        "rebucket",
+        help="migrate the state table to a new bucket count (B evolution)",
+    )
+    common(sp)
+    sp.add_argument("--to-buckets", type=int, required=True)
+    sp.set_defaults(fn=cmd_rebucket)
+
+    sp = sub.add_parser(
+        "optimize", help="per-bucket small-file compaction (OPTIMIZE analog)"
+    )
+    common(sp)
+    sp.add_argument("--files-per-bucket", type=int, default=1)
+    sp.set_defaults(fn=cmd_optimize)
 
     sp = sub.add_parser("gen", help="seeded synthetic changelog generator")
     sp.add_argument("--log", required=True)

@@ -42,21 +42,45 @@ def default_normalize(df: DataFrame) -> DataFrame:
 
 
 class CdcEngine:
+    #: max LSN windows whose touched-bucket sets are collected per driver
+    #: fetch in replay() — bounds driver memory to WINDOW_CHUNK×buckets
+    #: rows regardless of how many micro-batches a 10^10-event replay has.
+    WINDOW_CHUNK = 64
+
     def __init__(
         self,
         spark: SparkSession,
         state_path: str,
         manifest_path: str,
         keys: list[str] | None = None,
-        buckets: int = 32,
+        buckets: int | None = None,
         salt_buckets: int | None = None,
         normalize: Callable[[DataFrame], DataFrame] | None = default_normalize,
         registry: SchemaRegistry | None = None,
     ) -> None:
         self.spark = spark
-        self.state = StateTable(spark, state_path, keys or CODE_KEY, buckets)
         self.manifest = Manifest(manifest_path)
-        self.salt_buckets = salt_buckets
+        # Bucket-count evolution: a prior `rebucket` records the table's
+        # current B in the manifest; an explicit mismatch is an error
+        # (reading with the wrong B silently mis-prunes partitions).
+        recorded = self.manifest.current_buckets()
+        if buckets is not None and recorded is not None and buckets != recorded:
+            raise ValueError(
+                f"state table has buckets={recorded} (per manifest) but "
+                f"buckets={buckets} was requested; run `rebucket` to change B"
+            )
+        self.state = StateTable(
+            spark, state_path, keys or CODE_KEY, buckets or recorded or 32
+        )
+        if salt_buckets is not None:
+            import warnings
+
+            warnings.warn(
+                "salt_buckets is deprecated and ignored: the hash-agg LWW "
+                "merge path collapses hot keys map-side (no salting needed)",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         self.normalize = normalize
         self.registry = registry or SchemaRegistry(CHANGELOG_SCHEMA)
 
@@ -85,9 +109,7 @@ class CdcEngine:
             added = self.registry.evolve(merged_schema)
         if self.normalize is not None:
             batch = self.normalize(batch)
-        metrics = self.state.merge(
-            batch, salt_buckets=self.salt_buckets, touched=touched
-        )
+        metrics = self.state.merge(batch, touched=touched)
         entry = {
             "batch_id": batch_id,
             "lsn_lo": int(lsn_lo),
@@ -117,23 +139,47 @@ class CdcEngine:
         # key+lsn-column scan instead of B small jobs at 10^10 events).
         from .operators.merge import key_bucket
 
+        # Buckets MUST be derived from the keys as merge() will see them —
+        # i.e. AFTER normalization (sanitize trims/NUL-strips the key
+        # columns; a key altered by it hashes to a different bucket).
+        # apply_batch normalizes each batch before merging, so this probe
+        # runs the same normalization. The lsn column is the engine's own
+        # long and is contract-exempt from normalization.
+        probe = pending if self.normalize is None else self.normalize(pending)
         bucket_col = key_bucket(self.state.keys, self.state.buckets)
         win = F.floor(F.col(lsn_col) / F.lit(batch_size)).cast("long")
-        pairs = (
-            pending.groupBy(win.alias("__w"), bucket_col.alias("__b"))
-            .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
-            .collect()
-        )
-        if not pairs:
-            return []
         wins: dict[int, dict] = {}
-        for r in pairs:
-            w = wins.setdefault(
-                int(r["__w"]), {"buckets": [], "lo": None, "hi": None}
+        # Chunked collect: O(windows × buckets) rows could bloat the
+        # driver at 10^10 events with small batches — scan lsn bounds
+        # first (2-row agg), then fetch per-window bucket sets in groups
+        # of WINDOW_CHUNK windows.
+        bounds = pending.agg(
+            F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return []
+        w_lo, w_hi = bounds["lo"] // batch_size, bounds["hi"] // batch_size
+        for chunk_start in range(w_lo, w_hi + 1, self.WINDOW_CHUNK):
+            chunk_end = min(chunk_start + self.WINDOW_CHUNK, w_hi + 1)
+            pairs = (
+                probe.filter(
+                    F.col(lsn_col).between(
+                        chunk_start * batch_size, chunk_end * batch_size - 1
+                    )
+                )
+                .groupBy(win.alias("__w"), bucket_col.alias("__b"))
+                .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
+                .collect()
             )
-            w["buckets"].append(int(r["__b"]))
-            w["lo"] = int(r["__lo"]) if w["lo"] is None else min(int(r["__lo"]), w["lo"])
-            w["hi"] = int(r["__hi"]) if w["hi"] is None else max(int(r["__hi"]), w["hi"])
+            for r in pairs:
+                w = wins.setdefault(
+                    int(r["__w"]), {"buckets": [], "lo": None, "hi": None}
+                )
+                w["buckets"].append(int(r["__b"]))
+                w["lo"] = int(r["__lo"]) if w["lo"] is None else min(int(r["__lo"]), w["lo"])
+                w["hi"] = int(r["__hi"]) if w["hi"] is None else max(int(r["__hi"]), w["hi"])
+        if not wins:
+            return []
         entries = []
         for wid in sorted(wins):
             w = wins[wid]
@@ -152,6 +198,25 @@ class CdcEngine:
         return entries
 
     # ------------------------------------------------------------------
+
+    def rebucket(self, new_buckets: int) -> dict:
+        """Migrate the state table to a new bucket count and record the
+        new layout in the manifest (the commit point — a crash between
+        the table swap and this commit is detected by the next engine
+        construction reading stale B... which merely re-runs an idempotent
+        rewrite, since rebucket derives buckets from keys, not from B)."""
+        metrics = self.state.rebucket(new_buckets)
+        hw = self.manifest.high_watermark()
+        # seq in the id keeps repeated rebuckets (32→64→32→…) distinct —
+        # Manifest.commit dedups on batch_id.
+        entry = {
+            "batch_id": f"rebucket_{len(self.manifest.entries())}_to_{new_buckets}",
+            "lsn_lo": hw,
+            "lsn_hi": hw,
+            "schema_version": self.registry.version,
+            **metrics,
+        }
+        return self.manifest.commit(entry)
 
     def final_state(self) -> DataFrame:
         return self.state.read()

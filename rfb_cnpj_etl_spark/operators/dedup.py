@@ -201,6 +201,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = 50,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -208,13 +209,34 @@ def ngram_jaccard_pairs(
     shingle (so only pairs sharing ≥1 shingle are ever materialized),
     count common shingles per pair, then Jaccard = |∩| / (|A|+|B|-|∩|).
     Returns (id_a, id_b, jaccard) with id_a < id_b. The shingle join is
-    the scalable formulation — no O(n²) cross join; at 100 TB you bound
-    fanout further by MinHash-LSH (below).
+    the scalable formulation — no O(n²) cross join.
+
+    ``max_df`` is the posting-list cap that makes the join survive
+    100×: a shingle appearing in d documents fans out into d(d−1)/2
+    pair rows, so one boilerplate shingle shared by 10⁶ docs would emit
+    5·10¹¹ rows. Shingles with document frequency > max_df are removed
+    from the shingle space entirely — from the postings AND the per-doc
+    sizes — so the result is the exact Jaccard over the
+    discriminative (df ≤ max_df) shingles. Near-stopword shingles
+    carry no pair-level signal (they are shared by construction), which
+    is why posting-list truncation is the standard formulation
+    (cf. CCNet/SlimPajama-style dedup); ``max_df=None`` restores the
+    uncapped exact semantics. Per-shingle fanout is bounded by
+    max_df²/2 rows.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(content_col), k)).alias("sh"),
     )
+    if max_df is not None:
+        # one window count on the same key the self-join shuffles on —
+        # Catalyst reuses the exchange, so the cap costs no extra shuffle
+        wdf = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -235,16 +257,52 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31−1: the modulus of the md5-affine universal hash
+#: family. Products a·base stay < 2^62 → no int64 overflow in Spark OR
+#: DuckDB (DuckDB raises on BIGINT overflow; Spark silently wraps —
+#: either would break cross-engine parity).
+HASH_P31 = 2_147_483_647
+
+
+def affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients of the affine lanes
+    h_i(x) = (a_i·x + b_i) mod P31. Driver-side tiny; the SAME literals
+    are inlined into the DuckDB oracle SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, HASH_P31), rng.randrange(0, HASH_P31))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_base60(col: Column) -> Column:
+    """60-bit positive int64 from the first 15 hex chars of md5(value) —
+    the cross-engine base hash (DuckDB twin:
+    ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str,
     id_col: str,
     k: int,
     num_hashes: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures from word k-shingles.
 
-    Hash family: xxhash64(shingle, seed=i), deterministic and JVM-side.
+    Hash families:
+
+    * ``xxhash64`` (default, production): xxhash64(shingle, seed=i) —
+      fastest, fully JVM, but engine-internal (no DuckDB twin).
+    * ``md5``: ONE md5 per shingle → 60-bit base → ``num_hashes``
+      affine lanes (a_i·base + b_i) mod P31. Every step exists in
+      DuckDB, so signatures (hence LSH pairs) are value-checkable by
+      the oracle; ~one extra hash per shingle vs per-lane hashing.
+
     Plan shape: explode shingles once, then ONE groupBy with
     ``num_hashes`` min() aggregates — the shingle array is built exactly
     once per row (an inline array<expr> of array_mins would rebuild it
@@ -256,12 +314,41 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(content_col), k)).alias("s"),
     )
+    if hash_family == "xxhash64":
+        lanes = [F.xxhash64("s", F.lit(i)) for i in range(num_hashes)]
+    elif hash_family == "md5":
+        base = md5_base60(F.col("s")) % F.lit(HASH_P31)
+        lanes = [
+            (F.lit(a) * base + F.lit(b)) % F.lit(HASH_P31)
+            for a, b in affine_params(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     sig = hashed.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(lane).alias(f"h{i}") for i, lane in enumerate(lanes)]
     )
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
+
+
+#: most-recently cached signature/sketch DF per operator — unpersisted on
+#: the NEXT call so repeated invocations in one session don't accumulate
+#: executor memory (the returned DataFrame is lazy, so the current call's
+#: cache must outlive the function; bounding to one live cache per
+#: operator is the practical fix).
+_LIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _cache_bounded(tag: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE_CACHES.get(tag)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session is fine
+            pass
+    _LIVE_CACHES[tag] = df.cache()
+    return _LIVE_CACHES[tag]
 
 
 def minhash_lsh_pairs(
@@ -272,6 +359,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs, verified by signature
     similarity.
@@ -280,10 +368,27 @@ def minhash_lsh_pairs(
     of r = num_hashes/bands rows → bucket-join on (band_id, band_hash) →
     estimate Jaccard as fraction of agreeing minhashes → filter.
     The band join is the scale path: candidate pairs only, never n².
+
+    ``hash_family='md5'`` makes the whole pipeline DuckDB-expressible
+    (band key = the joined lane string instead of its xxhash64), so the
+    driver oracle can value-check the pairs.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, content_col, id_col, k, num_hashes).cache()
+    sig = _cache_bounded(
+        "minhash_sig",
+        minhash_signatures(df, content_col, id_col, k, num_hashes, hash_family),
+    )
+
+    def band_key(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
+            ",",
+        )
+        # engine path compresses the key to a long; the oracle-parity
+        # path keeps the raw string (xxhash64 has no DuckDB twin)
+        return joined if hash_family == "md5" else F.xxhash64(joined)
+
     banded = sig.select(
         "id",
         "sig",
@@ -291,16 +396,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), band_key(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -334,21 +430,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_table(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", k: int = 1
-) -> DataFrame:
-    """(id, sh): 64-bit SimHash of word k-shingles per document.
+def simhash_bits(hash_family: str) -> int:
+    """Sketch width per family: 64 for xxhash64; 60 for the md5 base
+    (15 hex chars → 60 bits, the largest width both engines parse into a
+    positive int64)."""
+    return 60 if hash_family == "md5" else 64
 
-    Fully JVM plan: shingle hashing via explode + xxhash64 (codegen'd),
-    then the 64-bit vote tally as 64 conditional-sum aggregates in ONE
-    groupBy — Catalyst plans a hash aggregate with map-side partial
-    aggregation, so the shuffle carries 64 ints per doc, not the
-    shingles. No Python anywhere.
+
+def simhash_table(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, sh): 64-bit (60-bit for md5 family) SimHash of word
+    k-shingles per document.
+
+    Fully JVM plan: shingle hashing via explode + xxhash64/md5
+    (codegen'd), then the per-bit vote tally as n_bits conditional-sum
+    aggregates in ONE groupBy — Catalyst plans a hash aggregate with
+    map-side partial aggregation, so the shuffle carries n_bits ints per
+    doc, not the shingles. No Python anywhere. ``hash_family='md5'``
+    mirrors exactly into DuckDB for the driver oracle.
     """
+    n_bits = simhash_bits(hash_family)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(content_col), k)).alias("sh_txt"),
-    ).select("id", F.xxhash64("sh_txt").alias("h"))
+    )
+    if hash_family == "xxhash64":
+        hashed = hashed.select("id", F.xxhash64("sh_txt").alias("h"))
+    elif hash_family == "md5":
+        hashed = hashed.select("id", md5_base60(F.col("sh_txt")).alias("h"))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     votes = hashed.groupBy("id").agg(
         *[
@@ -357,11 +473,11 @@ def simhash_table(
                     F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     packed = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(
             F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -375,15 +491,20 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs with banding on 16-bit blocks.
+    """SimHash near-dup pairs with banding on 16-bit (15-bit for md5)
+    blocks.
 
-    Pigeonhole: if hamming(a,b) ≤ 3 then at least one of 4 16-bit blocks
-    is identical → equi-join on (block_id, block_value), verify hamming
+    Pigeonhole: if hamming(a,b) ≤ 3 then at least one of 4 blocks is
+    identical → equi-join on (block_id, block_value), verify hamming
     via bit_count(xor). Returns (id_a, id_b, hamming).
     """
-    sh = simhash_table(df, content_col, id_col).cache()
-    width = 64 // blocks
+    sh = _cache_bounded(
+        "simhash_sketch",
+        simhash_table(df, content_col, id_col, hash_family=hash_family),
+    )
+    width = simhash_bits(hash_family) // blocks
     mask = (1 << width) - 1
     blocked = sh.select(
         "id",

@@ -141,13 +141,23 @@ class StateTable:
               WHEN NOT MATCHED AND op<>'delete' THEN INSERT *
 
         LWW-by-LSN is associative, so state ∪ batch needs only ONE
-        keyed dedup (salted two-phase when ``salt_buckets`` is set —
-        hot-repo skew, SURVEY P7). The whole merge is ONE Spark job:
+        keyed dedup (``salt_buckets`` is deprecated: the hash-agg LWW
+        collapses hot keys map-side — SURVEY P7's skew answer is free
+        here). The whole merge is ONE Spark job:
         ``touched`` can be precomputed for all batches in a single
         upfront pass (CdcEngine.replay does), stored sha256 is reused so
         only new winners hash, and the per-bucket manifest metrics ride
         the write job as observed metrics instead of a follow-up count.
         """
+        if salt_buckets is not None:
+            import warnings
+
+            warnings.warn(
+                "salt_buckets is deprecated and ignored: the hash-agg LWW "
+                "path collapses hot keys map-side before the shuffle",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         bucket_col = key_bucket(self.keys, self.buckets)
         if touched is None:
             touched = self.touched_buckets(batch)
@@ -168,9 +178,7 @@ class StateTable:
             )
         # Hash-aggregate LWW (max_by): no sort, map-side partial agg —
         # which is also the hot-key skew answer (a hot key collapses to
-        # one row per map task before the shuffle), so ``salt_buckets``
-        # is unnecessary here and kept only for API compatibility.
-        del salt_buckets
+        # one row per map task before the shuffle).
         final = last_writer_wins_agg(merged, self.keys, lsn_col, op_col)
         final = (
             final.filter(F.col(op_col) != OP_DELETE)
@@ -213,6 +221,27 @@ class StateTable:
             "bucket"
         ).parquet(staging)
 
+        # Fail-loud invariant: every bucket dir the write produced must be
+        # in `touched`. A violation means the bucket probe and merge() saw
+        # different keys (e.g. a normalization applied after the probe) —
+        # swapping would silently lose the unexpected buckets' rows AND
+        # the state scan above missed those buckets. Raising here, before
+        # any swap, leaves the state table untouched.
+        staged = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("bucket=")
+        ]
+        unexpected = sorted(set(staged) - set(touched))
+        if unexpected:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"merge produced rows in buckets {unexpected} outside the "
+                f"precomputed touched set {sorted(touched)}; the touched-"
+                "bucket probe must run on keys normalized identically to "
+                "the merged batch (state table left unchanged)"
+            )
+
         os.makedirs(self.path, exist_ok=True)
         for b in touched:
             dst = f"{self.path}/bucket={b}"
@@ -254,7 +283,82 @@ class StateTable:
             "touched_buckets": touched,
             "bucket_rows": counts,
             "rows": int(sum(counts.values())),
+            "buckets": self.buckets,
         }
+
+    # -- layout evolution (reference index pass analog, S11) ------------
+
+    def rebucket(self, new_buckets: int) -> dict:
+        """B → B′ layout migration (the ``OPTIMIZE``/re-cluster analog of
+        the reference's post-load index pass, db/sqlite_builder.py:127-168).
+
+        At 100× the fixed bucket count must grow so one bucket stays a
+        few GB; this rewrites the whole table once under the new hash
+        modulus — full scan + one shuffle on the new bucket id, staged to
+        a side dir and swapped atomically (crash before the swap leaves
+        the old layout fully intact; the caller records the new B in the
+        manifest as the commit point).
+        """
+        if new_buckets < 1:
+            raise ValueError("new_buckets must be >= 1")
+        old_buckets = self.buckets
+        staging = f"{self.path}.rebucket"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        df = self.read().drop("bucket")
+        new_bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(new_buckets)
+        ).cast("int")
+        (
+            df.withColumn("bucket", new_bucket)
+            .repartition(new_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        rows = self.spark.read.parquet(staging).count()
+        old = f"{self.path}.old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.replace(self.path, old)
+        os.replace(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.buckets = new_buckets
+        return {
+            "rebucket_from": old_buckets,
+            "rebucket_to": new_buckets,
+            "rows": int(rows),
+            "buckets": new_buckets,
+        }
+
+    def compact(self, target_files_per_bucket: int = 1) -> dict:
+        """Per-bucket small-file compaction (OPTIMIZE file-size health):
+        rewrite each bucket's files down to ``target_files_per_bucket``.
+        Same stage-and-swap protocol as merge; contents unchanged."""
+        if not self.exists():
+            return {"compacted_buckets": 0, "buckets": self.buckets}
+        bucket_ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("bucket=")
+        )
+        staging = f"{self.path}.staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        (
+            self.read_buckets(bucket_ids)
+            .repartition(len(bucket_ids) * target_files_per_bucket, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        for b in bucket_ids:
+            dst, src = f"{self.path}/bucket={b}", f"{staging}/bucket={b}"
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"compacted_buckets": len(bucket_ids), "buckets": self.buckets}
 
     # -- audits (reference S10/S12 analogs) -----------------------------
 

@@ -55,6 +55,15 @@ class Manifest:
         entries = self.entries()
         return max((e.get("schema_version", 0) for e in entries), default=0)
 
+    def current_buckets(self) -> int | None:
+        """Bucket count of the table's current layout (last entry that
+        recorded one — merge and rebucket entries both do). None when the
+        manifest predates bucket recording or is empty."""
+        for e in reversed(self.entries()):
+            if e.get("buckets") is not None:
+                return int(e["buckets"])
+        return None
+
     # -- write -----------------------------------------------------------
 
     def commit(self, entry: dict) -> dict:

@@ -341,10 +341,13 @@ def norm_numeric_br(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1."), F.col("o_orderkey").cast("string"), F.lit(",50")
         ).alias("raw_val"),
     )
+    # DOUBLE (not DECIMAL) on the driver-checked surface: both engines
+    # agree on DECIMAL(16,2) values but render trailing zeros differently
+    # at the driver's Arrow fetch; x.50 fractions are exact in binary FP.
     return dirty.select(
         "o_orderkey",
         "raw_val",
-        N.normalize_numeric_br_decimal("raw_val").alias("clean_val"),
+        N.normalize_numeric_br_decimal("raw_val").cast("double").alias("clean_val"),
     )
 
 
@@ -395,11 +398,18 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + language ID + fingerprint (heuristics are
-    engine-defined → rows-only driver check; exactness covered in pytest)."""
+    """Quality scoring + language ID + fingerprint — the full
+    with_text_features battery, value-checked against DuckDB (the
+    fingerprint surfaced here is the md5 twin of the engine-internal
+    xxhash64 one, same canonicalization, so the oracle can verify it)."""
     docs = t(spark, sf_dir, "documents")
     return TX.with_text_features(docs).select(
-        "doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "lang_pred",
+        F.round(F.col("quality"), 6).alias("quality"),
+        TX.fingerprint_md5("text").alias("fingerprint"),
     )
 
 

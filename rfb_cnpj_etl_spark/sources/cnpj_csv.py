@@ -43,16 +43,22 @@ _ESTAB_PACKED = "cod_cnae_secundario"
 BRIDGE_TABLE = "estabelecimento_cnae_sec"
 
 
+#: lowercased stem → table (the reference matches stems
+#: case-insensitively: get_targets_from_zip_name lowercases both sides,
+#: utils/db_batch_producer.py:18-28).
+_STEM_LOWER_TO_TABLE = {k.lower(): v for k, v in FILE_STEM_TO_TABLE.items()}
+
+
 def resolve_table(filename: str) -> str:
     """File name → target table: strip extension(s) and trailing digits
-    from the stem (``Empresas3.csv`` → ``empresa``). Unknown stems raise
-    ValueError — the reference does the same
-    (utils/db_batch_producer.py:18-28).
+    from the stem, match case-insensitively (``empresas3.csv`` →
+    ``empresa``). Unknown stems raise ValueError — the reference does
+    the same (utils/db_batch_producer.py:18-28).
     """
     stem = os.path.basename(filename)
     stem = re.sub(r"\.[A-Za-z0-9.]+$", "", stem)  # drop .csv/.csv.gz/.zip
     stem = re.sub(r"\d+$", "", stem)
-    table = FILE_STEM_TO_TABLE.get(stem)
+    table = _STEM_LOWER_TO_TABLE.get(stem.lower())
     if table is None:
         raise ValueError(f"no table mapping for file {filename!r} (stem {stem!r})")
     return table

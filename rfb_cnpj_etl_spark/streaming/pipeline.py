@@ -34,8 +34,7 @@ class StreamingCdcPipeline:
         manifest_path: str,
         checkpoint_dir: str,
         keys: list[str] | None = None,
-        buckets: int = 32,
-        salt_buckets: int | None = None,
+        buckets: int | None = None,
         max_files_per_trigger: int = 8,
     ) -> None:
         self.spark = spark
@@ -52,7 +51,6 @@ class StreamingCdcPipeline:
             manifest_path,
             keys=keys or CODE_KEY,
             buckets=buckets,
-            salt_buckets=salt_buckets,
         )
         self.state = self.engine.state
         self.manifest = self.engine.manifest

@@ -34,19 +34,37 @@ def _lww_filter_fn(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    max_lsn = state.get[0] if state.exists else -1
+    # A key's micro-batch group can span SEVERAL pandas/Arrow chunks
+    # (spark.sql.execution.arrow.maxRecordsPerBatch rows each), so the
+    # single winner must be accumulated across the whole iterator and
+    # emitted exactly once after it — one yield per chunk would leak
+    # multiple rows per key per trigger into an append-only sink.
+    # Total order matches the batch engine's last_writer_wins_agg:
+    # (lsn, delete-priority) — on an LSN tie the delete wins.
+    watermark = state.get[0] if state.exists else -1
+    best: pd.DataFrame | None = None
+    best_key = (watermark, -1)
     for pdf in pdfs:
         if pdf.empty:
             continue
-        # keep only events newer than the stored watermark, then — if
-        # several survive for this key — only the last writer
-        fresh = pdf[pdf["lsn"] > max_lsn]
+        fresh = pdf[pdf["lsn"] > watermark]
         if fresh.empty:
             continue
-        idx = fresh["lsn"].idxmax()
-        max_lsn = int(fresh["lsn"].loc[idx])
-        yield fresh.loc[[idx]]
-    state.update((max_lsn,))
+        mx = int(fresh["lsn"].max())
+        top = fresh[fresh["lsn"] == mx]
+        if "op" in top.columns:
+            dels = top[top["op"] == "delete"]
+            prio = 1 if not dels.empty else 0
+            row = dels.iloc[[0]] if prio else top.iloc[[0]]
+        else:
+            prio, row = 0, top.iloc[[0]]
+        if (mx, prio) > best_key:
+            best_key, best = (mx, prio), row
+    if best is not None:
+        state.update((best_key[0],))
+        yield best
+    else:
+        state.update((watermark,))
 
 
 def lww_stateful_filter(

@@ -93,13 +93,13 @@ def worker(cores: int, log_path: str) -> None:
         # measures compiler wall-time — a constant that eats a far bigger
         # fraction of the (shorter) 4N run and fakes poor scaling.
         warm = CdcEngine(
-            spark, f"{tmp}/warm_state", f"{tmp}/warm_manifest.jsonl", salt_buckets=8
+            spark, f"{tmp}/warm_state", f"{tmp}/warm_manifest.jsonl"
         )
         warm.replay(log.filter(f"lsn < {n // 2}"), batch_size=max(n // 2, 1))
         shutil.rmtree(f"{tmp}/warm_state", ignore_errors=True)
 
         eng = CdcEngine(
-            spark, f"{tmp}/state", f"{tmp}/manifest.jsonl", salt_buckets=8
+            spark, f"{tmp}/state", f"{tmp}/manifest.jsonl"
         )
         t0 = time.time()
         eng.replay(log, batch_size=max(n // BATCHES, 1))
