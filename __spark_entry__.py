@@ -17,8 +17,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rfb_cnpj_etl_spark.operators.dedup import HASH_P31, affine_params
+from rfb_cnpj_etl_spark.operators.similarity import deterministic_planes
 from rfb_cnpj_etl_spark.plans import queries as Q
+from rfb_cnpj_etl_spark.schema import CNPJ_SCHEMAS
 from rfb_cnpj_etl_spark.sources.changelog import events_changelog_sql
+from rfb_cnpj_etl_spark.sources.cnpj_fixture import FIXTURE_DIR, ensure_cnpj_fixture
+
+# The CNPJ e2e fixture must exist before EITHER engine runs (the driver
+# may execute the DuckDB oracle first); writing is idempotent and cheap.
+ensure_cnpj_fixture()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Relational family (SURVEY §2.5 Q1–Q10)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "flagship_report": Q.flagship_report,
+        "flagship_full": Q.flagship_full,
         "q3_group_concat": Q.q3_group_concat,
         "q4_case_decode": Q.q4_case_decode,
         "q6_date_format": Q.q6_date_format,
@@ -53,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_dates": Q.norm_dates,
         "norm_numeric_br": Q.norm_numeric_br,
         "sanitize_strings": Q.sanitize_strings,
+        "cnpj_cp1252_roundtrip": Q.cnpj_cp1252_roundtrip,
+        "cnpj_etl_e2e": Q.cnpj_etl_e2e,
         "zero_pad_codes": Q.zero_pad_codes,
         "content_hashes": Q.content_hashes,
         # Training-data family (documents/embeddings)
@@ -65,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_features": Q.doc_text_features,
         "doc_fingerprints": Q.doc_fingerprints,
         "embedding_near_dups": Q.embedding_near_dups,
+        "embedding_near_dups_exact": Q.embedding_near_dups_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
@@ -91,6 +103,193 @@ _SHINGLES = f"""
                     ELSE [array_to_string(t, ' ')] END)) AS sh
       FROM toks
     )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine literals shared with the Spark plans: the md5-affine
+# minhash lanes, the 60-bit simhash base, and the LSH hyperplanes are
+# generated ONCE here and inlined into both engines' expressions, so the
+# oracle reproduces the Spark values bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_MH_NUM_HASHES, _MH_BANDS = 16, 4
+_MH_PARAMS = affine_params(_MH_NUM_HASHES)
+_LSH_PLANES = deterministic_planes(64, 3, 42)
+_SIMHASH_BITS, _SIMHASH_BLOCKS = 60, 4
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _lsh_bucket_sql(v: str) -> str:
+    """Random-hyperplane bucket id of a DOUBLE[] column — the SQL twin
+    of similarity._bucket_of over the same plane literals."""
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({v}, {_vec_sql(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_LSH_PLANES)
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """cosine(a, b) spelled exactly like similarity.cosine (dot/norms in
+    double, left-to-right sums) for bit-parity on unrounded comparisons."""
+    return (
+        f"(list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+        f" * sqrt(list_inner_product({b}, {b}))))"
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """sig CTE body: per-doc minima of the md5-affine lanes over 3-gram
+    shingles (twin of dedup.minhash_signatures(hash_family='md5'))."""
+    base = f"(CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {HASH_P31})"
+    lanes = ",\n                     ".join(
+        f"min(({a} * {base} + {b}) % {HASH_P31}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    return f"SELECT id, {lanes} FROM sh GROUP BY id"
+
+
+def _minhash_band_sql() -> str:
+    """banded CTE: one (id, band, bucket-string) row per band — the
+    bucket is the comma-joined lane values, matching the md5-family band
+    key in dedup.minhash_lsh_pairs."""
+    r = _MH_NUM_HASHES // _MH_BANDS
+    selects = []
+    for b in range(_MH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+        )
+        selects.append(f"SELECT id, {b} AS band, {key} AS bucket FROM sig")
+    return "\n              UNION ALL ".join(selects)
+
+
+def _minhash_est_sql() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_NUM_HASHES)
+    )
+    return f"({agree}) / {float(_MH_NUM_HASHES)}"
+
+
+def _simhash_votes_sql() -> str:
+    sums = ",\n                     ".join(
+        f"sum(CASE WHEN (b >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"SELECT id, {sums} FROM h GROUP BY id"
+
+
+def _simhash_pack_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i}"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"SELECT id, {bits} AS sh FROM votes"
+
+
+def _simhash_block_sql() -> str:
+    width = _SIMHASH_BITS // _SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+    selects = [
+        f"SELECT id, sh, {b} AS blk, (sh >> {b * width}) & {mask} AS val FROM sk"
+        for b in range(_SIMHASH_BLOCKS)
+    ]
+    return "\n              UNION ALL ".join(selects)
+
+
+def _cnpj_csv_cols(table: str) -> str:
+    """DuckDB read_csv ``columns`` literal: the positional all-VARCHAR
+    binding of schema.CNPJ_SCHEMAS (same source of truth as the Spark
+    scan)."""
+    names = [f.name for f in CNPJ_SCHEMAS[table].fields]
+    return "{" + ", ".join(f"'{n}': 'VARCHAR'" for n in names) + "}"
+
+
+def _sql_sanitize(col: str) -> str:
+    """T1 twin: trim + NUL-strip."""
+    return f"trim(replace({col}, chr(0), ''))"
+
+
+def _sql_date(col: str) -> str:
+    """T4 twin: sentinel → NULL, else try-parse YYYYMMDD (invalid → NULL)."""
+    return (
+        f"CASE WHEN {col} IS NULL OR trim({col}) IN ('00000000', '', '0')"
+        f" THEN NULL ELSE CAST(try_strptime({col}, '%Y%m%d') AS DATE) END"
+    )
+
+
+def _sql_numeric_br(col: str) -> str:
+    """T3 twin: BR-decimal rewrite guarded exactly like the reference
+    (comma present + all-digits after removing '.' and ','), DOUBLE out."""
+    digits = f"replace(replace({col}, '.', ''), ',', '')"
+    rewritten = f"replace(replace({col}, '.', ''), ',', '.')"
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" WHEN contains({col}, ',') AND regexp_matches({digits}, '^[0-9]+$')"
+        f" THEN CAST(CAST({rewritten} AS DECIMAL(16,2)) AS DOUBLE)"
+        f" ELSE CAST(TRY_CAST({col} AS DECIMAL(16,2)) AS DOUBLE) END"
+    )
+
+
+#: doc_text_features SQL is reused (superset) by doc_quality.
+_DOC_FEATURES_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, toks, n_chars, alpha, n_bpe,
+             list_transform(toks, x -> lower(x)) AS lt
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, toks, n_chars, alpha, n_bpe,
+        len(list_filter(lt, x -> list_contains(
+          ['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS h_de,
+        len(list_filter(lt, x -> list_contains(
+          ['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
+        len(list_filter(lt, x -> list_contains(
+          ['el','la','de','que','y','en','un','por','con','los'], x))) AS h_es,
+        len(list_filter(lt, x -> list_contains(
+          ['le','la','de','et','les','des','un','une','dans','pour'], x))) AS h_fr,
+        len(list_filter(lt, x -> list_contains(
+          ['o','a','de','que','e','do','da','em','um','para'], x))) AS h_pt
+      FROM hits
+    ),
+    feats AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        n_bpe AS n_bpe_tokens,
+        greatest(h_de, h_en, h_es, h_fr, h_pt) AS m,
+        h_de, h_en, h_es, h_fr, h_pt,
+        CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+        CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS distinct_ratio,
+        CASE WHEN len(toks) > 0 AND n_chars / len(toks) >= 3
+                  AND n_chars / len(toks) <= 12
+             THEN 1.0 ELSE 0.5 END AS wl_ok
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           CASE WHEN m = 0 THEN 'und'
+                WHEN h_pt = m THEN 'pt'
+                WHEN h_fr = m THEN 'fr'
+                WHEN h_es = m THEN 'es'
+                WHEN h_en = m THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           round((alpha_ratio + distinct_ratio + wl_ok) / 3.0, 6) AS quality
+    FROM feats
 """
 
 
@@ -183,6 +382,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
             LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
             LEFT JOIN parts_per_order p ON o.o_orderkey = p.l_orderkey
+            WHERE o.o_orderstatus IN ('O', 'F') AND o.o_totalprice > 1000.0
+            ORDER BY total_price DESC, o.o_orderkey ASC
+            LIMIT 20
+        """,
+        "flagship_full": """
+            WITH parts_per_order AS (
+              SELECT l_orderkey,
+                     string_agg(p_name, ' / ' ORDER BY p_name) AS part_names
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY l_orderkey
+            ),
+            supp_named AS (
+              SELECT s_suppkey,
+                     s_name || ' (' || coalesce(n_name, '?') || ')' AS s_label
+              FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+            ),
+            supps_per_order AS (
+              SELECT l_orderkey,
+                     string_agg(s_label, ' / ' ORDER BY s_label) AS supplier_names
+              FROM lineitem JOIN supp_named ON l_suppkey = s_suppkey
+              GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey,
+                   upper(c.c_name) AS customer,
+                   trim(
+                     coalesce(nullif(trim(c.c_mktsegment), '') || ' - ', '') ||
+                     upper(c.c_name) ||
+                     coalesce(' [' || nullif(n.n_name, 'BRAZIL') || ']',
+                              ' [LOCAL]')
+                   ) AS customer_line,
+                   coalesce(n.n_name, 'UNKNOWN') AS nation,
+                   coalesce(r.r_name, 'UNKNOWN') AS region,
+                   CASE WHEN o.o_orderstatus = 'O' THEN 'OPEN'
+                        WHEN o.o_orderstatus = 'F' THEN 'FINISHED'
+                        ELSE 'OTHER' END AS status_desc,
+                   strftime(o.o_orderdate, '%d/%m/%Y') AS order_date_br,
+                   o.o_totalprice AS total_price,
+                   coalesce(p.part_names, '') AS part_names,
+                   coalesce(s.supplier_names, '') AS supplier_names
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+            LEFT JOIN parts_per_order p ON o.o_orderkey = p.l_orderkey
+            LEFT JOIN supps_per_order s ON o.o_orderkey = s.l_orderkey
             WHERE o.o_orderstatus IN ('O', 'F') AND o.o_totalprice > 1000.0
             ORDER BY total_price DESC, o.o_orderkey ASC
             LIMIT 20
@@ -324,10 +568,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_dups": f"""
             {_SHINGLES},
-            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            -- posting-list cap (max_df=50): shingles in more than 50 docs
+            -- are removed from the shingle space (postings AND sizes),
+            -- mirroring ngram_jaccard_pairs' document-frequency cap
+            kept AS (
+              SELECT id, sh FROM (
+                SELECT id, sh, count(*) OVER (PARTITION BY sh) AS dfreq
+                FROM sh
+              ) WHERE dfreq <= 50
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM kept GROUP BY id),
             pairs AS (
               SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
               GROUP BY a.id, b.id
             )
             SELECT p.id_a, p.id_b,
@@ -404,66 +657,82 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_custkey NOT IN (7, 42, 99, 123, 256)
             GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
-        "doc_text_features": r"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     list_filter(regexp_split_to_array(text, '\s+'),
-                                 x -> len(x) > 0) AS toks,
-                     length(text) AS n_chars,
-                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                     len(regexp_extract_all(text,
-                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
-              FROM documents
-            ),
-            hits AS (
-              SELECT doc_id, toks, n_chars, alpha, n_bpe,
-                     list_transform(toks, x -> lower(x)) AS lt
-              FROM base
-            ),
-            scored AS (
-              SELECT doc_id, toks, n_chars, alpha, n_bpe,
-                len(list_filter(lt, x -> list_contains(
-                  ['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS h_de,
-                len(list_filter(lt, x -> list_contains(
-                  ['the','and','of','to','in','is','that','it','for','with'], x))) AS h_en,
-                len(list_filter(lt, x -> list_contains(
-                  ['el','la','de','que','y','en','un','por','con','los'], x))) AS h_es,
-                len(list_filter(lt, x -> list_contains(
-                  ['le','la','de','et','les','des','un','une','dans','pour'], x))) AS h_fr,
-                len(list_filter(lt, x -> list_contains(
-                  ['o','a','de','que','e','do','da','em','um','para'], x))) AS h_pt
-              FROM hits
-            ),
-            feats AS (
-              SELECT doc_id,
-                len(toks) AS n_tokens,
-                n_bpe AS n_bpe_tokens,
-                greatest(h_de, h_en, h_es, h_fr, h_pt) AS m,
-                h_de, h_en, h_es, h_fr, h_pt,
-                CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
-                CASE WHEN len(toks) > 0
-                     THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS distinct_ratio,
-                CASE WHEN len(toks) > 0 AND n_chars / len(toks) >= 3
-                          AND n_chars / len(toks) <= 12
-                     THEN 1.0 ELSE 0.5 END AS wl_ok
-              FROM scored
-            )
-            SELECT doc_id, n_tokens, n_bpe_tokens,
-                   CASE WHEN m = 0 THEN 'und'
-                        WHEN h_pt = m THEN 'pt'
-                        WHEN h_fr = m THEN 'fr'
-                        WHEN h_es = m THEN 'es'
-                        WHEN h_en = m THEN 'en'
-                        ELSE 'de' END AS lang_pred,
-                   round((alpha_ratio + distinct_ratio + wl_ok) / 3.0, 6) AS quality
-            FROM feats
+        "doc_text_features": _DOC_FEATURES_SQL,
+        "doc_quality": rf"""
+            SELECT f.doc_id, f.n_tokens, f.n_bpe_tokens, f.lang_pred,
+                   f.quality,
+                   md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))))
+                     AS fingerprint
+            FROM ({_DOC_FEATURES_SQL}) f
+            JOIN documents d ON f.doc_id = d.doc_id
         """,
         "doc_fingerprints": r"""
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
             FROM documents
         """,
-        "embedding_near_dups": """
+        "minhash_dups": f"""
+            {_SHINGLES},
+            sig AS ({_minhash_sig_sql()}),
+            banded AS (
+              {_minhash_band_sql()}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.id < b.id
+            ),
+            est AS (
+              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.id = c.id_a
+              JOIN sig sb ON sb.id = c.id_b
+            )
+            SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        """,
+        "simhash_dups": f"""
+            WITH toks AS ({_TOKS}),
+            td AS (
+              SELECT doc_id AS id, unnest(list_distinct(t)) AS tok FROM toks
+            ),
+            h AS (
+              SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS b
+              FROM td
+            ),
+            votes AS ({_simhash_votes_sql()}),
+            sk AS ({_simhash_pack_sql()}),
+            blocked AS (
+              {_simhash_block_sql()}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     a.sh AS sh_a, b.sh AS sh_b
+              FROM blocked a
+              JOIN blocked b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+              FROM cand
+            ) WHERE hamming <= 3
+        """,
+        "embedding_near_dups": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id AS id, v, {_lsh_bucket_sql("v")} AS bucket FROM e
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b2.id AS id_b,
+                     round({_cos_sql("a.v", "b2.v")}, 6) AS cos
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+            )
+            SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        "embedding_near_dups_exact": """
             WITH e AS (
               SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -474,7 +743,128 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
-        # doc_quality, minhash_dups, simhash_dups, ann_lsh_topk: engine-
-        # defined hash families / heuristics (xxhash64 has no DuckDB twin)
-        # → rows-only driver check; exact semantics covered by pytest.
+        "ann_lsh_topk": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cb AS (
+              SELECT vec_id, v, {_lsh_bucket_sql("v")} AS bucket FROM e
+            ),
+            q AS (
+              SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.q_id, c.vec_id, {_cos_sql("c.v", "q.qv")} AS raw
+              FROM cb c JOIN q ON c.bucket = q.bucket
+            ),
+            ranked AS (
+              SELECT q_id, vec_id, raw,
+                     row_number() OVER (
+                       PARTITION BY q_id ORDER BY raw DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(raw, 6) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT vec_id AS cid, v AS cv FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+            ),
+            assign AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.v", "c.cv")} DESC, c.cid DESC
+                     ) AS rn
+              FROM e CROSS JOIN cents c
+            ),
+            cb AS (SELECT vec_id, v, cid AS cluster FROM assign WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+            probe AS (
+              SELECT q.q_id, q.qv, c.cid AS cluster,
+                     row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_cos_sql("q.qv", "c.cv")} DESC, c.cid DESC
+                     ) AS rn
+              FROM q CROSS JOIN cents c
+            ),
+            qp AS (SELECT q_id, qv, cluster FROM probe WHERE rn <= 3),
+            scored AS (
+              SELECT qp.q_id, cb.vec_id, {_cos_sql("cb.v", "qp.qv")} AS raw
+              FROM cb JOIN qp ON cb.cluster = qp.cluster
+            ),
+            ranked AS (
+              SELECT q_id, vec_id, raw,
+                     row_number() OVER (
+                       PARTITION BY q_id ORDER BY raw DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(raw, 6) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "cnpj_etl_e2e": f"""
+            WITH est_raw AS (
+              SELECT * FROM read_csv('{FIXTURE_DIR}/Estabelecimentos*.csv',
+                header=false, sep=';',
+                columns={_cnpj_csv_cols("estabelecimento")})
+            ),
+            emp_raw AS (
+              SELECT * FROM read_csv('{FIXTURE_DIR}/Empresas0.csv',
+                header=false, sep=';',
+                columns={_cnpj_csv_cols("empresa")})
+            ),
+            est AS (
+              SELECT {_sql_sanitize("cnpj_basico")} AS cnpj_basico,
+                     {_sql_sanitize("cnpj_ordem")} AS cnpj_ordem,
+                     {_sql_sanitize("cnpj_dv")} AS cnpj_dv,
+                     {_sql_sanitize("nome_fantasia")} AS fantasia,
+                     {_sql_date("data_situacao_cadastral")} AS situacao_date,
+                     {_sql_date("data_inicio_atividade")} AS inicio_date,
+                     {_sql_sanitize("uf")} AS uf,
+                     {_sql_sanitize("cod_cnae_secundario")} AS sec
+              FROM est_raw
+            ),
+            emp AS (
+              SELECT {_sql_sanitize("cnpj_basico")} AS cnpj_basico,
+                     {_sql_sanitize("razao_social")} AS razao_social,
+                     {_sql_numeric_br("capital_social")} AS capital
+              FROM emp_raw
+            ),
+            bridge AS (
+              SELECT cnpj_basico, cnpj_ordem, cnpj_dv, trim(cae) AS cod_cnae
+              FROM (
+                SELECT cnpj_basico, cnpj_ordem, cnpj_dv,
+                       unnest(string_split(sec, ',')) AS cae
+                FROM est
+              ) WHERE len(trim(cae)) > 0
+            ),
+            sec_counts AS (
+              SELECT cnpj_basico, cnpj_ordem, cnpj_dv, count(*) AS n_sec
+              FROM bridge GROUP BY cnpj_basico, cnpj_ordem, cnpj_dv
+            )
+            SELECT e.cnpj_basico, e.cnpj_ordem, e.cnpj_dv, e.fantasia,
+                   e.situacao_date, e.inicio_date,
+                   coalesce(m.razao_social, 'SEM EMPRESA') AS razao_social,
+                   m.capital AS capital,
+                   coalesce(b.n_sec, 0) AS n_sec,
+                   e.uf
+            FROM est e
+            LEFT JOIN emp m ON e.cnpj_basico = m.cnpj_basico
+            LEFT JOIN sec_counts b
+              ON e.cnpj_basico = b.cnpj_basico
+             AND e.cnpj_ordem = b.cnpj_ordem
+             AND e.cnpj_dv = b.cnpj_dv
+        """,
+        # cnpj_cp1252_roundtrip is the one intentionally rows-only entry:
+        # the windows-1252 errors='ignore' re-encode (the canonical custom
+        # pandas UDF, T2) is genuinely inexpressible in DuckDB SQL; its
+        # byte-exactness is pytest-golden-tested instead.
     }

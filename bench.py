@@ -34,6 +34,7 @@ HEADLINE = [
     "cdc_repo_stats",
     "q1_pricing_summary",
     "flagship_report",
+    "flagship_full",
     "q3_group_concat",
     "window_running_sum",
     "topk_per_group",
@@ -43,9 +44,37 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "minhash_dups",
     "simhash_dups",
+    "embedding_near_dups",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "cnpj_etl_e2e",
 ]
+
+
+def load_prev_bench() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json next to this file
+    (the driver records one per round) — regressions become self-evident
+    as a delta column in this round's JSON."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p, encoding="utf-8") as f:
+                data = json.load(f)
+            queries = data.get("parsed", data).get("queries", {})
+        except Exception:  # noqa: BLE001 — a malformed old record is ignorable
+            continue
+        n = int(m.group(1))
+        if queries and (best is None or n > best[0]):
+            best = (n, queries)
+    return best[1] if best else {}
 
 
 def get_session():
@@ -143,6 +172,10 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    prev = load_prev_bench()
+    delta = {
+        k: round(v - prev[k], 3) for k, v in times.items() if k in prev
+    }
     print(
         json.dumps(
             {
@@ -150,6 +183,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "delta_vs_prev": delta,
                 "sf": sf_val,
                 "cores": CPUS,
                 "cdc_events": replay["events"],

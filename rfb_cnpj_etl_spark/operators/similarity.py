@@ -118,6 +118,50 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 3,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing — the
+    default (scale-safe) near-dup API.
+
+    Every vector gets ONE random-hyperplane bucket; candidates are the
+    same-bucket pairs only, then the exact cosine filter. The plan is a
+    bucket equi-join: the pair space never materializes O(n²) rows —
+    expected bucket size n/2^n_planes bounds the fanout, and the join
+    shuffles on a small int key. Recall is tunable (fewer planes =
+    bigger buckets = higher recall; multiple hash tables would push it
+    further at proportional cost). The exact all-pairs formulation
+    remains available as the oracle twin (``embedding_near_dups_exact``
+    in the query library) — do NOT use it beyond dim-table scale: it is
+    a BroadcastNestedLoopJoin.
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
+    """
+    planes = deterministic_planes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _bucket_of(F.col(vec_col), planes).alias("__bucket"),
+    )
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "__bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
@@ -168,15 +212,17 @@ def ivf_topk(
     ~n_clusters/nprobe×. The probe join shuffles on a small int key;
     the codebook and the query set are broadcast.
     """
+    # hash-spread centroid pick, ordered by md5 of the id so the exact
+    # same codebook is derivable in plain SQL (the DuckDB oracle mirrors
+    # this ORDER BY md5(CAST(id AS VARCHAR)) LIMIT n); at scale you'd
+    # Lloyd-iterate, which only moves recall, not the plan shape.
     cents = [
-        (i, r[1])
-        for i, r in enumerate(
-            corpus.select(c_id, c_vec)
-            .withColumn("__h", F.xxhash64(F.col(c_id)))
-            .orderBy("__h")
-            .limit(n_clusters)
-            .collect()
-        )
+        (int(r[0]), list(r[1]))
+        for r in corpus.select(c_id, c_vec)
+        .withColumn("__h", F.md5(F.col(c_id).cast("string")))
+        .orderBy("__h")
+        .limit(n_clusters)
+        .collect()
     ]
     cb = ivf_assign(corpus, cents, c_vec)
 

@@ -167,6 +167,113 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flagship_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity flagship (docs/exemplos/query_sqlite.md:10-73): the
+    reference's hardest documented shape, nothing simplified away —
+
+    * SIX joins: orders⋈customer (fact⋈fact), broadcast nation + region
+      dims, TWO independent decorrelated string-agg branches, and a
+      broadcast supplier⋈nation join inside the second branch;
+    * TWO correlated GROUP_CONCATs (secondary CNAEs `:24-31` and sócios
+      `:55-59` analogs): part names per order AND supplier(nation) names
+      per order, each decorrelated into groupBy + sorted collect_list
+      then joined back — two separate aggregate subtrees under one plan;
+    * the NULLIF + conditional-concat address builder (`:38-46`):
+      segment prefix dropped when blank via NULLIF→NULL-propagating
+      concat→COALESCE, nation suffix rewritten via NULLIF(n_name,
+      'BRAZIL') → '[LOCAL]' for domestic customers;
+    * CASE decode, date rendering, predicates, top-k as in
+      flagship_report.
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+
+    # correlated agg #1 (CNAE analog): part names per order
+    parts_per_order = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("p_name")), " / ").alias(
+                "part_names"
+            )
+        )
+    )
+    # correlated agg #2 (sócios analog): supplier names + their nation
+    supp_named = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left"
+    ).select(
+        "s_suppkey",
+        F.concat(
+            F.col("s_name"),
+            F.lit(" ("),
+            F.coalesce(F.col("n_name"), F.lit("?")),
+            F.lit(")"),
+        ).alias("s_label"),
+    )
+    supps_per_order = (
+        li.join(F.broadcast(supp_named), li.l_suppkey == supp_named.s_suppkey)
+        .groupBy(F.col("l_orderkey").alias("s_orderkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_label")), " / ").alias(
+                "supplier_names"
+            )
+        )
+    )
+
+    # the NULLIF / conditional-concat builder (query_sqlite.md:38-46):
+    # NULL-propagating concat turns a blank segment into NULL, COALESCE
+    # drops it; NULLIF rewrites the domestic nation into a '[LOCAL]' tag.
+    customer_line = F.trim(
+        F.concat(
+            F.coalesce(
+                F.concat(F.nullif(F.trim("c_mktsegment"), F.lit("")), F.lit(" - ")),
+                F.lit(""),
+            ),
+            F.upper("c_name"),
+            F.coalesce(
+                F.concat(
+                    F.lit(" ["), F.nullif(F.col("n_name"), F.lit("BRAZIL")), F.lit("]")
+                ),
+                F.lit(" [LOCAL]"),
+            ),
+        )
+    )
+
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .join(parts_per_order, orders.o_orderkey == parts_per_order.l_orderkey, "left")
+        .join(supps_per_order, orders.o_orderkey == supps_per_order.s_orderkey, "left")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select(
+            F.col("o_orderkey"),
+            F.upper(F.col("c_name")).alias("customer"),
+            customer_line.alias("customer_line"),
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation"),
+            F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region"),
+            F.when(F.col("o_orderstatus") == "O", F.lit("OPEN"))
+            .when(F.col("o_orderstatus") == "F", F.lit("FINISHED"))
+            .otherwise(F.lit("OTHER"))
+            .alias("status_desc"),
+            F.date_format(F.col("o_orderdate"), "dd/MM/yyyy").alias("order_date_br"),
+            F.col("o_totalprice").alias("total_price"),
+            F.coalesce(F.col("part_names"), F.lit("")).alias("part_names"),
+            F.coalesce(F.col("supplier_names"), F.lit("")).alias("supplier_names"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def q3_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 in isolation: GROUP_CONCAT/STRING_AGG decorrelated into
     groupBy + sorted collect_list (docs/exemplos/query_sqlite.md:24-31)."""
@@ -311,6 +418,46 @@ def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cnpj_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CNPJ file-format path (S4 scan, T1 sanitize, T3 BR
+    decimals, T4 dates, T5 dispatch, T7 explode, T8 multi-target, Q9
+    multi-part union): load the deterministic CSV fixture through
+    ``load_cnpj_files`` — positional headerless ';' scan, per-table fused
+    cleaning projection, bridge derivation — then join estabelecimento ⋈
+    empresa ⋈ bridge-counts. The DuckDB oracle re-reads the same files
+    with ``read_csv`` and applies the same cleaning in SQL.
+
+    capital_social is surfaced as DOUBLE (driver-render-safe twin of the
+    DECIMAL(16,2) the engine stores — same lesson as norm_numeric_br)."""
+    from ..sources.cnpj_csv import load_cnpj_files
+    from ..sources.cnpj_fixture import ensure_cnpj_fixture
+
+    files = ensure_cnpj_fixture()
+    tables = load_cnpj_files(spark, files)
+    est = tables["estabelecimento"]
+    emp = tables["empresa"]
+    bridge = tables["estabelecimento_cnae_sec"]
+
+    keys = ["cnpj_basico", "cnpj_ordem", "cnpj_dv"]
+    sec_counts = bridge.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_sec"))
+    return (
+        est.join(F.broadcast(emp), "cnpj_basico", "left")
+        .join(sec_counts, keys, "left")
+        .select(
+            *keys,
+            F.col("nome_fantasia").alias("fantasia"),
+            F.col("data_situacao_cadastral").alias("situacao_date"),
+            F.col("data_inicio_atividade").alias("inicio_date"),
+            F.coalesce(F.col("razao_social"), F.lit("SEM EMPRESA")).alias(
+                "razao_social"
+            ),
+            F.col("capital_social").cast("double").alias("capital"),
+            F.coalesce(F.col("n_sec"), F.lit(0)).alias("n_sec"),
+            F.col("uf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Normalization family (T1–T5, M4–M5 with synthesized dirty inputs)
 # ---------------------------------------------------------------------------
@@ -348,6 +495,27 @@ def norm_numeric_br(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "raw_val",
         N.normalize_numeric_br_decimal("raw_val").cast("double").alias("clean_val"),
+    )
+
+
+def cnpj_cp1252_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2, the canonical custom pandas UDF (sanitize_for_postgres,
+    db_transformers.py:25-37): windows-1252 round-trip with
+    errors='ignore' over names salted with cp1252-unmappable codepoints.
+    Rows-only at the driver (DuckDB cannot express the re-encode); the
+    byte-exact semantics are pytest-golden-tested in
+    tests/test_normalize.py."""
+    cust = t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("  Jão✓ "),  # ã survives cp1252; ✓ is dropped
+            F.col("c_name"),
+            F.lit(" €\x00"),  # € survives cp1252; the NUL is stripped
+        ).alias("raw_name"),
+    )
+    return dirty.select(
+        "c_custkey", N.sanitize_cp1252(F.col("raw_name")).alias("clean_name")
     )
 
 
@@ -420,15 +588,25 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate near-dups (xxhash64 family → rows-only)."""
+    """MinHash+LSH candidate near-dups, value-checked: the md5-affine
+    hash family (one md5 per shingle → affine lanes mod 2^31−1) exists
+    in DuckDB too, so signatures, band buckets and estimated Jaccard all
+    have an exact oracle twin. The xxhash64 family remains the default
+    production path of the operator."""
     docs = t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "text", "doc_id", k=3, num_hashes=16, bands=4)
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=16, bands=4, hash_family="md5"
+    )
 
 
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit sketch)."""
+    """SimHash near-dup pairs (hamming ≤ 3), value-checked via the
+    md5-base 60-bit sketch (15-bit pigeonhole blocks) that DuckDB can
+    reproduce bit-for-bit."""
     docs = t(spark, sf_dir, "documents")
-    return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    return D.simhash_near_dups(
+        docs, "text", "doc_id", max_hamming=3, hash_family="md5"
+    )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,9 +643,22 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000)
 
 
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the vector cast float→double up front: float32 →
+    double is exact, and it pins every downstream dot/cosine to double
+    arithmetic on BOTH engines (bit-parity for the oracle's bucket-sign
+    and argmax comparisons, not just the rounded scores)."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (the 100 TB path; rows-only)."""
-    emb = t(spark, sf_dir, "embeddings")
+    """LSH-bucketed approximate top-5 (the 100 TB path). The hyperplanes
+    are deterministic driver-side literals, inlined identically into the
+    DuckDB oracle — bucket assignment and rerank are value-checked."""
+    emb = _emb_double(spark, sf_dir)
     queries = (
         emb.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -557,11 +748,20 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a<id_b).
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a<id_b)
+    — DEFAULT path: LSH-bucketed candidates (bucket equi-join, never
+    O(n²)); the oracle inlines the same hyperplanes and reproduces the
+    buckets exactly. The exact all-pairs twin is
+    ``embedding_near_dups_exact``."""
+    emb = _emb_double(spark, sf_dir)
+    return SIM.lsh_near_dup_pairs(
+        emb, "embedding", "vec_id", dim=64, n_planes=3, threshold=0.4
+    )
 
-    Exact all-pairs formulation for oracle parity; the 100 TB path is
-    the LSH-bucketed variant (ann_lsh_topk / similarity.lsh_topk) which
-    only materializes bucket-colliding candidates."""
+
+def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs twin of embedding_near_dups (BroadcastNestedLoop
+    O(n²) — oracle-parity/baseline only, never the scale path)."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -581,8 +781,10 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5 (coarse codebook + nprobe inverted
-    lists — the other 100 TB ANN path next to LSH; rows-only)."""
-    emb = t(spark, sf_dir, "embeddings")
+    lists — the other 100 TB ANN path next to LSH). Centroid pick is
+    ORDER BY md5(id) LIMIT n, so the oracle derives the identical
+    codebook in SQL; assignment, probing and rerank are value-checked."""
+    emb = _emb_double(spark, sf_dir)
     queries = (
         emb.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
