@@ -32,6 +32,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _pair_cosine(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
+    """cosine with the norms hoisted out: higher-order array folds are
+    interpreted (not codegen'd), so computing ``l2_norm`` per PAIR costs
+    2 extra 64-dim folds per candidate — precomputing it per VECTOR
+    (it is a pure per-row function) cuts the fold count 3×. The value is
+    bit-identical to :func:`cosine` (same sqrt of the same fold, merely
+    evaluated earlier), so oracle parity is unaffected."""
+    return dot(a_vec, b_vec) / (a_norm * b_norm)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -49,9 +59,14 @@ def brute_force_topk(
     per-query top-k (tiny: k rows per query per partition after the
     window's partial ordering).
     """
-    pairs = corpus.crossJoin(
-        F.broadcast(queries.select(F.col(q_id), F.col(q_vec)))
-    ).withColumn("score", cosine(F.col(c_vec), F.col(q_vec)))
+    cn = corpus.withColumn("__cn", l2_norm(F.col(c_vec)))
+    qn = queries.select(F.col(q_id), F.col(q_vec)).withColumn(
+        "__qn", l2_norm(F.col(q_vec))
+    )
+    pairs = cn.crossJoin(F.broadcast(qn)).withColumn(
+        "score",
+        _pair_cosine(F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn")),
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -105,10 +120,15 @@ def lsh_topk(
     small int key and never materializes the full pair space.
     """
     planes = deterministic_planes(dim, n_planes, seed)
-    cb = corpus.withColumn("__bucket", _bucket_of(F.col(c_vec), planes))
-    qb = queries.withColumn("__bucket", _bucket_of(F.col(q_vec), planes))
+    cb = corpus.withColumn("__bucket", _bucket_of(F.col(c_vec), planes)).withColumn(
+        "__cn", l2_norm(F.col(c_vec))
+    )
+    qb = queries.withColumn("__bucket", _bucket_of(F.col(q_vec), planes)).withColumn(
+        "__qn", l2_norm(F.col(q_vec))
+    )
     pairs = cb.join(F.broadcast(qb), "__bucket").withColumn(
-        "score", cosine(F.col(c_vec), F.col(q_vec))
+        "score",
+        _pair_cosine(F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn")),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
     return (
@@ -148,6 +168,7 @@ def lsh_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _bucket_of(F.col(vec_col), planes).alias("__bucket"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     return (
         b.alias("a")
@@ -156,7 +177,12 @@ def lsh_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(
+                _pair_cosine(
+                    F.col("a.v"), F.col("b.v"), F.col("a.__n"), F.col("b.__n")
+                ),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -178,16 +204,26 @@ def ivf_assign(
     Centroids are driver-side literals broadcast into the plan (the
     coarse codebook is tiny even at 100 TB — thousands of entries);
     the argmax is the array_max-over-structs trick: one fused
-    projection, no shuffle, no Python.
+    projection, no shuffle, no Python. The row vector's norm is folded
+    once (not per centroid) and each centroid's norm is a precomputed
+    literal — same doubles as folding in-plan, 2×|codebook| fewer
+    interpreted array folds per row.
     """
+    import math
+
+    vn = l2_norm(F.col(vec_col))
     scored = []
     for cid, cvec in centroids:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
         scored.append(
-            F.struct(cosine(F.col(vec_col), cv).alias("s"), F.lit(cid).alias("c"))
+            F.struct(
+                (dot(F.col(vec_col), cv) / (F.col("__vn") * F.lit(cn))).alias("s"),
+                F.lit(cid).alias("c"),
+            )
         )
     best = F.array_max(F.array(*scored))
-    return df.withColumn(out_col, best["c"])
+    return df.withColumn("__vn", vn).withColumn(out_col, best["c"]).drop("__vn")
 
 
 def ivf_topk(
@@ -224,16 +260,22 @@ def ivf_topk(
         .limit(n_clusters)
         .collect()
     ]
-    cb = ivf_assign(corpus, cents, c_vec)
+    import math
+
+    cb = ivf_assign(corpus, cents, c_vec).withColumn("__cn", l2_norm(F.col(c_vec)))
 
     # per query: nprobe nearest clusters → (q, cluster) probe pairs
     probes = []
     for cid, cvec in cents:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
         probes.append(
-            F.struct(cosine(F.col(q_vec), cv).alias("s"), F.lit(cid).alias("c"))
+            F.struct(
+                (dot(F.col(q_vec), cv) / (F.col("__qn") * F.lit(cn))).alias("s"),
+                F.lit(cid).alias("c"),
+            )
         )
-    qp = queries.withColumn(
+    qp = queries.withColumn("__qn", l2_norm(F.col(q_vec))).withColumn(
         "__cluster",
         F.explode(
             F.transform(
@@ -243,7 +285,8 @@ def ivf_topk(
         ),
     )
     pairs = cb.join(F.broadcast(qp), "__cluster").withColumn(
-        "score", cosine(F.col(c_vec), F.col(q_vec))
+        "score",
+        _pair_cosine(F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn")),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
     return (

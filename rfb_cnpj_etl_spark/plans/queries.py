@@ -39,10 +39,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full LWW replay result: the M2 window dedup with the CDC total
-    order (lsn DESC), deletes applied. One shuffle on the key."""
+    """Full LWW replay result: M2 dedup with the CDC total order (lsn
+    DESC, delete wins ties), deletes applied. Uses the hash-aggregate
+    max_by formulation (the MERGE hot path): one keyed exchange, no
+    sort, map-side partial agg collapses hot keys — same rows as the
+    row_number window the oracle spells."""
     log = changelog_from_events(spark, sf_dir)
-    winners = D.last_writer_wins(log, ["repo", "path"])
+    winners = D.last_writer_wins_agg(log, ["repo", "path"])
     return winners.filter(F.col("op") != "delete").select(
         "repo",
         "path",
