@@ -57,8 +57,14 @@ def normalize_numeric_br(col: Column | str) -> Column:
 def normalize_numeric_br_decimal(
     col: Column | str, precision: int = 16, scale: int = 2
 ) -> Column:
-    """T3 + cast to DECIMAL(16,2) (empresa.capital_social, schema.py:61)."""
-    return normalize_numeric_br(col).cast(T.DecimalType(precision, scale))
+    """T3 + cast to DECIMAL(16,2) (empresa.capital_social, schema.py:61).
+
+    ``try_cast``, not ``cast``: Spark 4 runs ANSI mode by default, where
+    a plain cast of a non-numeric passthrough value would fail the whole
+    job; the reference's loader is lenient (bad values load as NULL /
+    unchanged), so invalid→NULL is the contract regardless of the
+    session's ANSI setting."""
+    return normalize_numeric_br(col).try_cast(T.DecimalType(precision, scale))
 
 
 def normalize_date(col: Column | str) -> Column:

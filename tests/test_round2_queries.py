@@ -155,6 +155,27 @@ class TestEmbeddingNearDupPlans:
         assert lsh <= exact
 
 
+class TestAnsiLeniency:
+    def test_invalid_numeric_is_null_not_error(self, spark):
+        """Spark 4 defaults to ANSI mode; the reference loader is lenient
+        (bad values → NULL). normalize_numeric_br_decimal must therefore
+        try_cast — a plain cast would abort the job on the first
+        non-numeric passthrough value."""
+        from rfb_cnpj_etl_spark.functions.normalize import (
+            normalize_numeric_br_decimal,
+        )
+
+        df = spark.createDataFrame(
+            [("1.234,56",), ("garbage",), ("",), (None,)], "v string"
+        )
+        got = [
+            r["d"] and str(r["d"])
+            for r in df.select(normalize_numeric_br_decimal("v").alias("d"))
+            .collect()
+        ]
+        assert got == ["1234.56", None, None, None]
+
+
 class TestRoundTwoRegistration:
     def test_every_query_has_oracle_or_is_cp1252(self):
         import __spark_entry__ as E
