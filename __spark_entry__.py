@@ -23,10 +23,15 @@ from rfb_cnpj_etl_spark.plans import queries as Q
 from rfb_cnpj_etl_spark.schema import CNPJ_SCHEMAS
 from rfb_cnpj_etl_spark.sources.changelog import events_changelog_sql
 from rfb_cnpj_etl_spark.sources.cnpj_fixture import FIXTURE_DIR, ensure_cnpj_fixture
+from rfb_cnpj_etl_spark.sources.jsonl import (
+    FIXTURE_DIR as JSONL_DIR,
+    ensure_jsonl_fixture,
+)
 
-# The CNPJ e2e fixture must exist before EITHER engine runs (the driver
-# may execute the DuckDB oracle first); writing is idempotent and cheap.
+# The file-format fixtures must exist before EITHER engine runs (the
+# driver may execute the DuckDB oracle first); writes are idempotent.
 ensure_cnpj_fixture()
+ensure_jsonl_fixture()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -64,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_strings": Q.sanitize_strings,
         "cnpj_cp1252_roundtrip": Q.cnpj_cp1252_roundtrip,
         "cnpj_etl_e2e": Q.cnpj_etl_e2e,
+        "jsonl_doc_stats": Q.jsonl_doc_stats,
         "zero_pad_codes": Q.zero_pad_codes,
         "content_hashes": Q.content_hashes,
         # Training-data family (documents/embeddings)
@@ -862,6 +868,23 @@ def oracle_sql() -> dict[str, str]:
               ON e.cnpj_basico = b.cnpj_basico
              AND e.cnpj_ordem = b.cnpj_ordem
              AND e.cnpj_dv = b.cnpj_dv
+        """,
+        "jsonl_doc_stats": f"""
+            WITH docs AS (
+              SELECT * FROM read_json('{JSONL_DIR}/docs*.jsonl',
+                format='newline_delimited', ignore_errors=true,
+                columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                          'lang': 'VARCHAR', 'source': 'VARCHAR'}})
+            )
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> len(x) > 0))) AS BIGINT)
+                     AS n_tokens,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM docs WHERE doc_id IS NOT NULL
+            GROUP BY lang, source ORDER BY lang, source
         """,
         # cnpj_cp1252_roundtrip is the one intentionally rows-only entry:
         # the windows-1252 errors='ignore' re-encode (the canonical custom

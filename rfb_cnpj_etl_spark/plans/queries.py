@@ -461,6 +461,29 @@ def cnpj_etl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source end-to-end: schema-bound (no inference) multi-part
+    newline-JSON scan with PERMISSIVE corrupt-line capture, then a
+    per-(lang, source) rollup with token counts. The fixture plants one
+    malformed line and an extra JSON key; both engines must ignore the
+    extra key and NULL-out the bad line (filtered here on doc_id)."""
+    from ..sources.jsonl import ensure_jsonl_fixture, read_documents_jsonl
+
+    files = ensure_jsonl_fixture()
+    docs = read_documents_jsonl(spark, files)
+    return (
+        docs.filter(F.col("doc_id").isNotNull())
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Normalization family (T1–T5, M4–M5 with synthesized dirty inputs)
 # ---------------------------------------------------------------------------

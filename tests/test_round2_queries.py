@@ -155,6 +155,37 @@ class TestEmbeddingNearDupPlans:
         assert lsh <= exact
 
 
+class TestJsonlSource:
+    def test_schema_bound_scan_and_corrupt_capture(self, spark):
+        from rfb_cnpj_etl_spark.sources.jsonl import (
+            N_DOCS,
+            ensure_jsonl_fixture,
+            read_documents_jsonl,
+        )
+
+        # cache() first: Spark refuses a query that references ONLY the
+        # internal corrupt-record column of an unmaterialized JSON scan
+        docs = read_documents_jsonl(spark, ensure_jsonl_fixture()).cache()
+        try:
+            good = docs.filter(F.col("doc_id").isNotNull())
+            bad = docs.filter(F.col("_corrupt").isNotNull())
+            assert good.count() == N_DOCS
+            captured = bad.collect()  # the planted malformed line
+            assert len(captured) == 1
+            assert captured[0]["_corrupt"].startswith('{"doc_id"')
+            # the extra JSON key is ignored, not inferred into the schema
+            assert "extra_meta" not in docs.columns
+        finally:
+            docs.unpersist()
+
+    def test_stats_query_shape(self, spark):
+        from rfb_cnpj_etl_spark.plans.queries import jsonl_doc_stats
+
+        rows = jsonl_doc_stats(spark, SF_DIR).collect()
+        assert sum(r["n_docs"] for r in rows) == 300
+        assert all(r["n_tokens"] > 0 for r in rows)
+
+
 class TestAnsiLeniency:
     def test_invalid_numeric_is_null_not_error(self, spark):
         """Spark 4 defaults to ANSI mode; the reference loader is lenient
