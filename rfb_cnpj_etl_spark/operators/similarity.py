@@ -146,33 +146,51 @@ def lsh_near_dup_pairs(
     n_planes: int = 3,
     threshold: float = 0.4,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing — the
     default (scale-safe) near-dup API.
 
-    Every vector gets ONE random-hyperplane bucket; candidates are the
-    same-bucket pairs only, then the exact cosine filter. The plan is a
-    bucket equi-join: the pair space never materializes O(n²) rows —
-    expected bucket size n/2^n_planes bounds the fanout, and the join
-    shuffles on a small int key. Recall is tunable (fewer planes =
-    bigger buckets = higher recall; multiple hash tables would push it
-    further at proportional cost). The exact all-pairs formulation
-    remains available as the oracle twin (``embedding_near_dups_exact``
-    in the query library) — do NOT use it beyond dim-table scale: it is
-    a BroadcastNestedLoopJoin.
+    Each hash table assigns every vector ONE random-hyperplane bucket;
+    candidates are same-bucket pairs only, then the exact cosine filter.
+    The plan is a bucket equi-join per table: the pair space never
+    materializes O(n²) rows — expected bucket size n/2^n_planes bounds
+    the fanout, and the join shuffles on a small int key.
+
+    Recall knobs: fewer planes = bigger buckets = higher recall per
+    table; ``n_tables > 1`` OR-combines independent plane sets (a pair
+    is a candidate if it collides in ANY table — miss probability
+    decays exponentially in n_tables) at proportional cost, exploded as
+    (table, bucket) keys in ONE join, deduped per pair. The exact
+    all-pairs formulation remains available as the oracle twin
+    (``embedding_near_dups_exact`` in the query library) — do NOT use
+    it beyond dim-table scale: it is a BroadcastNestedLoopJoin.
 
     Returns (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
     """
-    planes = deterministic_planes(dim, n_planes, seed)
+    tables = [
+        (t, deterministic_planes(dim, n_planes, seed + 1000 * t))
+        for t in range(n_tables)
+    ]
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _bucket_of(F.col(vec_col), planes).alias("__bucket"),
         l2_norm(F.col(vec_col)).alias("__n"),
-    )
-    return (
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _bucket_of(F.col(vec_col), planes).alias("b"),
+                    )
+                    for t, planes in tables
+                ]
+            )
+        ).alias("__tb"),
+    ).select("id", "v", "__n", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"))
+    pairs = (
         b.alias("a")
-        .join(b.alias("b"), "__bucket")
+        .join(b.alias("b"), ["__t", "__bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -184,8 +202,10 @@ def lsh_near_dup_pairs(
                 6,
             ).alias("cos"),
         )
-        .filter(F.col("cos") >= threshold)
     )
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.filter(F.col("cos") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,25 @@ class TestEmbeddingNearDupPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_multi_table_lsh_improves_recall(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+
+        def pairs(n_tables):
+            return {
+                (r["id_a"], r["id_b"])
+                for r in SIM.lsh_near_dup_pairs(
+                    emb, "embedding", "vec_id", dim=64, n_planes=3,
+                    threshold=0.4, n_tables=n_tables,
+                ).collect()
+            }
+
+        one, three = pairs(1), pairs(3)
+        assert one <= three, "OR-combined tables must only ADD candidates"
+        assert len(three) > len(one), "3 tables should recover missed pairs"
+
     def test_lsh_pairs_subset_of_exact_and_nonempty(self, spark):
         from rfb_cnpj_etl_spark.plans.queries import (
             embedding_near_dups,
