@@ -492,20 +492,24 @@ def simhash_table(
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
 
+    # Popcount identity instead of ±1 voting: the vote sum is 2·s_i − n
+    # (s_i = count of set bits in lane i), so bit set ⟺ 2·s_i > n —
+    # a plain sum of (h>>i)&1 with no per-row CASE branch. Identical
+    # sketches including the tie case (2·s_i = n ⟺ vote 0 → bit clear),
+    # A/B-checksummed; ~30% faster at sf0.1. The oracle keeps the ±1
+    # spelling — the packed values are equal by the identity.
     votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
             for i in range(n_bits)
-        ]
+        ],
     )
     packed = None
     for i in range(n_bits):
         bit = F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"s{i}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed.bitwiseOR(bit)
     return votes.select("id", packed.alias("sh"))
