@@ -1,0 +1,99 @@
+"""Property-based differential tests for the CDC dedup core.
+
+Hypothesis generates arbitrary op sequences (small key space so keys
+collide, paired LSNs so ties happen) and both LWW formulations must
+match an independent Python fold implementing the documented total
+order: per key the highest LSN wins, a delete beats an upsert on an
+equal LSN (SURVEY §7.4.2 — the reference tie-broke on physical ctid,
+which Spark has no analog for).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rfb_cnpj_etl_spark.operators.dedup import (
+    last_writer_wins,
+    last_writer_wins_agg,
+)
+
+#: (repo_idx 0-2, path_idx 0-2, is_delete) — 9 keys max, heavy collision.
+_OP = st.tuples(
+    st.integers(0, 2), st.integers(0, 2), st.booleans()
+)
+_OPS = st.lists(_OP, min_size=1, max_size=40)
+
+
+def _rows(events):
+    # lsn = i // 2 pairs events on the same LSN so the delete-beats-
+    # upsert tie-break is actually exercised, not just unique-LSN LWW.
+    return [
+        (f"r{r}", f"p{p}", f"c{i}", "python", f"v{i}", i // 2,
+         "delete" if d else "upsert")
+        for i, (r, p, d) in enumerate(events)
+    ]
+
+
+def _python_oracle(rows):
+    """Independent fold: winner per key = max by (lsn, delete-priority)."""
+    best: dict[tuple, tuple] = {}
+    for repo, path, commit, lang, content, lsn, op in rows:
+        k = (repo, path)
+        rank = (lsn, 1 if op == "delete" else 0)
+        if k not in best or rank > best[k][0]:
+            best[k] = (rank, (commit, content, lsn, op))
+    return {
+        k: v[1] for k, v in best.items()
+    }
+
+
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string,"
+    " lsn long, op string"
+)
+
+
+class TestLwwProperties:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_OPS)
+    def test_both_formulations_match_python_fold(self, spark, events):
+        rows = _rows(events)
+        expected = _python_oracle(rows)
+        df = spark.createDataFrame(rows, SCHEMA)
+        for fn in (last_writer_wins, last_writer_wins_agg):
+            got = {
+                (r["repo"], r["path"]): (r["commit"], r["content"], r["lsn"], r["op"])
+                for r in fn(df, ["repo", "path"]).collect()
+            }
+            assert got == expected, fn.__name__
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(_OPS)
+    def test_merge_final_state_matches_fold(self, spark, tmp_path_factory, events):
+        """End-to-end: arbitrary log through StateTable.merge equals the
+        fold's surviving (non-deleted) winners."""
+        from rfb_cnpj_etl_spark.operators.merge import StateTable
+
+        rows = _rows(events)
+        expected = {
+            k: v
+            for k, v in _python_oracle(rows).items()
+            if v[3] != "delete"
+        }
+        st_dir = str(tmp_path_factory.mktemp("lww_prop") / "state")
+        table = StateTable(spark, st_dir, buckets=4)
+        table.merge(spark.createDataFrame(rows, SCHEMA))
+        got = {
+            (r["repo"], r["path"]): (r["commit"], r["content"], r["lsn"])
+            for r in table.read().collect()
+        } if table.exists() else {}
+        assert got == {k: v[:3] for k, v in expected.items()}
