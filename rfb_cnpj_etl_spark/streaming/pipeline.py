@@ -93,6 +93,31 @@ class StreamingCdcPipeline:
         q.awaitTermination()
 
 
+def streaming_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+):
+    """Streaming exact-dedup of redelivered events within a watermark —
+    ``dropDuplicatesWithinWatermark``: state holds one entry per key
+    only until the event-time watermark passes it, so state size is
+    bounded by the redelivery window, not by |keys| (the right tool in
+    front of the MERGE when the upstream log can redeliver whole files;
+    the LWW stateful filter keeps per-key state forever and solves the
+    different, ordering problem).
+
+    Returns the streaming DataFrame; caller attaches a sink.
+    """
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(source_dir)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def streaming_event_stats(
     spark: SparkSession,
     source_dir: str,

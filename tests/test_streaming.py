@@ -112,3 +112,38 @@ class TestStreamingStats:
             for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         assert got == exp
+
+
+class TestStreamingDedupWithinWatermark:
+    def test_redelivered_events_collapse(self, spark, tmp_path):
+        """A redelivered file (same event_ids) must be absorbed by
+        dropDuplicatesWithinWatermark before it reaches the sink."""
+        from rfb_cnpj_etl_spark.streaming.pipeline import streaming_dedup_events
+
+        src = str(tmp_path / "events_src")
+        base = spark.range(0, 500).select(
+            F.col("id").alias("event_id"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+            (F.col("id") % 50).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        base.coalesce(1).write.mode("append").parquet(src)
+        base.coalesce(1).write.mode("append").parquet(src)  # redelivery
+
+        out = streaming_dedup_events(spark, src, watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream"
+        ).collect()[0]
+        assert got["n"] == 500 and got["d"] == 500
