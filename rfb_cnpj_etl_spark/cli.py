@@ -34,7 +34,13 @@ from .session import get_spark
 
 def _engine(args) -> CdcEngine:
     spark = get_spark("rfb_cnpj_etl_spark_cli")
-    return CdcEngine(spark, args.state, args.manifest, buckets=args.buckets)
+    return CdcEngine(
+        spark,
+        args.state,
+        args.manifest,
+        buckets=args.buckets,
+        salt_buckets=getattr(args, "salt_buckets", None),
+    )
 
 
 def cmd_init(args) -> int:
@@ -43,7 +49,23 @@ def cmd_init(args) -> int:
 
     like = eng.spark.createDataFrame([], CHANGELOG_SCHEMA)
     eng.state.init_empty(like)
-    print(json.dumps({"state": args.state, "initialized": True}))
+    # record the chosen bucket count so a later bare `replay` (no
+    # --buckets) picks it up instead of silently reverting to the default
+    eng.manifest.commit(
+        {
+            "batch_id": "init",
+            "lsn_lo": -1,
+            "lsn_hi": -1,
+            "schema_version": eng.registry.version,
+            "buckets": eng.state.buckets,
+            "rows": 0,
+        }
+    )
+    print(
+        json.dumps(
+            {"state": args.state, "initialized": True, "buckets": eng.state.buckets}
+        )
+    )
     return 0
 
 
@@ -123,9 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     def common(sp):
         sp.add_argument("--state", required=True)
         sp.add_argument("--manifest", required=True)
-        # default None = take the bucket count from the manifest (after a
-        # rebucket) or fall back to 32 for a fresh table.
+        # default None = take the bucket count from the table's layout
+        # marker / manifest, falling back to 32 for a fresh table.
         sp.add_argument("--buckets", type=int, default=None)
+        # accepted-but-deprecated so existing invocations keep working
+        # (the hash-agg LWW path made salting unnecessary); the engine
+        # emits the DeprecationWarning.
+        sp.add_argument("--salt-buckets", type=int, default=None,
+                        help=argparse.SUPPRESS)
 
     sp = sub.add_parser("init", help="create empty state table + manifest")
     common(sp)

@@ -42,11 +42,6 @@ def default_normalize(df: DataFrame) -> DataFrame:
 
 
 class CdcEngine:
-    #: max LSN windows whose touched-bucket sets are collected per driver
-    #: fetch in replay() — bounds driver memory to WINDOW_CHUNK×buckets
-    #: rows regardless of how many micro-batches a 10^10-event replay has.
-    WINDOW_CHUNK = 64
-
     def __init__(
         self,
         spark: SparkSession,
@@ -60,13 +55,18 @@ class CdcEngine:
     ) -> None:
         self.spark = spark
         self.manifest = Manifest(manifest_path)
-        # Bucket-count evolution: a prior `rebucket` records the table's
-        # current B in the manifest; an explicit mismatch is an error
-        # (reading with the wrong B silently mis-prunes partitions).
-        recorded = self.manifest.current_buckets()
+        # Bucket-count resolution: the table's layout marker is the
+        # ground truth (it is swapped atomically WITH the data, so it
+        # survives a crash between a rebucket swap and its manifest
+        # commit — the manifest alone can go stale there); the manifest
+        # record covers pre-marker tables; an explicit mismatch is an
+        # error (reading with the wrong B silently mis-prunes buckets).
+        recorded = StateTable.layout_buckets(state_path)
+        if recorded is None:
+            recorded = self.manifest.current_buckets()
         if buckets is not None and recorded is not None and buckets != recorded:
             raise ValueError(
-                f"state table has buckets={recorded} (per manifest) but "
+                f"state table has buckets={recorded} (layout/manifest) but "
                 f"buckets={buckets} was requested; run `rebucket` to change B"
             )
         self.state = StateTable(
@@ -136,7 +136,10 @@ class CdcEngine:
         # batch_ids — are stable across resumes. ONE upfront pass
         # computes every window's exact touched-bucket set (per-batch
         # partition pruning without a per-batch driver job: one
-        # key+lsn-column scan instead of B small jobs at 10^10 events).
+        # key+lsn-column scan at 10^10 events). Only windows that
+        # actually contain events are enumerated — never the numeric
+        # window range, which for sparse LSN spaces (timestamp-derived
+        # sequences) can be orders of magnitude larger than the data.
         from .operators.merge import key_bucket
 
         # Buckets MUST be derived from the keys as merge() will see them —
@@ -144,67 +147,68 @@ class CdcEngine:
         # columns; a key altered by it hashes to a different bucket).
         # apply_batch normalizes each batch before merging, so this probe
         # runs the same normalization. The lsn column is the engine's own
-        # long and is contract-exempt from normalization.
+        # long and is contract-exempt from normalization. (Catalyst
+        # prunes the normalize projection down to key+lsn columns — the
+        # probe never touches content.)
         probe = pending if self.normalize is None else self.normalize(pending)
         bucket_col = key_bucket(self.state.keys, self.state.buckets)
         win = F.floor(F.col(lsn_col) / F.lit(batch_size)).cast("long")
-        wins: dict[int, dict] = {}
-        # Chunked collect: O(windows × buckets) rows could bloat the
-        # driver at 10^10 events with small batches — scan lsn bounds
-        # first (2-row agg), then fetch per-window bucket sets in groups
-        # of WINDOW_CHUNK windows.
-        bounds = pending.agg(
-            F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            return []
-        w_lo, w_hi = bounds["lo"] // batch_size, bounds["hi"] // batch_size
-        for chunk_start in range(w_lo, w_hi + 1, self.WINDOW_CHUNK):
-            chunk_end = min(chunk_start + self.WINDOW_CHUNK, w_hi + 1)
-            pairs = (
-                probe.filter(
-                    F.col(lsn_col).between(
-                        chunk_start * batch_size, chunk_end * batch_size - 1
-                    )
-                )
-                .groupBy(win.alias("__w"), bucket_col.alias("__b"))
-                .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
-                .collect()
-            )
-            for r in pairs:
-                w = wins.setdefault(
-                    int(r["__w"]), {"buckets": [], "lo": None, "hi": None}
-                )
-                w["buckets"].append(int(r["__b"]))
-                w["lo"] = int(r["__lo"]) if w["lo"] is None else min(int(r["__lo"]), w["lo"])
-                w["hi"] = int(r["__hi"]) if w["hi"] is None else max(int(r["__hi"]), w["hi"])
-        if not wins:
-            return []
+        pairs = (
+            probe.groupBy(win.alias("__w"), bucket_col.alias("__b"))
+            .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
+            .sort("__w", "__b")
+        )
+
         entries = []
-        for wid in sorted(wins):
-            w = wins[wid]
+
+        def flush(wid: int, buckets: list[int], lo: int, hi: int) -> None:
             start, end = wid * batch_size, (wid + 1) * batch_size - 1
             batch = pending.filter(F.col(lsn_col).between(start, end))
             # batch_id and the manifest record the REAL lsn span (not the
             # window bounds): a partially-filled tail window must not
             # advance the watermark past events that haven't arrived yet,
             # and its later events must not collide with the applied id.
-            batch_id = f"lsn_{w['lo']}_{w['hi']}"
             entries.append(
                 self.apply_batch(
-                    batch, batch_id, w["lo"], w["hi"], touched=sorted(w["buckets"])
+                    batch, f"lsn_{lo}_{hi}", lo, hi, touched=sorted(buckets)
                 )
             )
+
+        # toLocalIterator streams the sorted (window, bucket) rows one
+        # shuffle partition at a time — driver memory is bounded by a
+        # partition of 4-int rows, not by windows × buckets — and each
+        # window's batch is applied as soon as its rows are exhausted
+        # (the sort guarantees a window's rows are contiguous).
+        cur_w: int | None = None
+        cur_buckets: list[int] = []
+        cur_lo = cur_hi = 0
+        for r in pairs.toLocalIterator():
+            w = int(r["__w"])
+            if cur_w is not None and w != cur_w:
+                flush(cur_w, cur_buckets, cur_lo, cur_hi)
+                cur_buckets = []
+            if not cur_buckets:
+                cur_lo, cur_hi = int(r["__lo"]), int(r["__hi"])
+            else:
+                cur_lo = min(cur_lo, int(r["__lo"]))
+                cur_hi = max(cur_hi, int(r["__hi"]))
+            cur_w = w
+            cur_buckets.append(int(r["__b"]))
+        if cur_w is not None:
+            flush(cur_w, cur_buckets, cur_lo, cur_hi)
         return entries
 
     # ------------------------------------------------------------------
 
     def rebucket(self, new_buckets: int) -> dict:
         """Migrate the state table to a new bucket count and record the
-        new layout in the manifest (the commit point — a crash between
-        the table swap and this commit is detected by the next engine
-        construction reading stale B... which merely re-runs an idempotent
-        rewrite, since rebucket derives buckets from keys, not from B)."""
+        new layout in the manifest. Crash safety: a crash mid-swap is
+        restored by StateTable._recover (the pre-rebucket table survives
+        in ``.old``); a crash between the swap and this manifest commit
+        leaves the manifest stale, but the layout marker written with
+        the swap is the ground truth the next engine resolves B from —
+        the stale manifest record is then self-healed by the next
+        committed entry."""
         metrics = self.state.rebucket(new_buckets)
         hw = self.manifest.high_watermark()
         # seq in the id keeps repeated rebuckets (32→64→32→…) distinct —

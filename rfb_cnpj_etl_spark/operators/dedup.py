@@ -362,7 +362,13 @@ def minhash_signatures(
 #: the NEXT call so repeated invocations in one session don't accumulate
 #: executor memory (the returned DataFrame is lazy, so the current call's
 #: cache must outlive the function; bounding to one live cache per
-#: operator is the practical fix).
+#: operator is the practical fix). Two deliberate consequences:
+#: (1) after the LAST call, one cache per operator stays resident until
+#: :func:`release_operator_caches` (or session stop) — call it from
+#: long-lived drivers once results are materialized; (2) interleaving two
+#: UNmaterialized results of the same operator (build A, build B, then
+#: collect A) loses A's cache and recomputes — materialize each result
+#: before building the next, or persist it yourself.
 _LIVE_CACHES: dict[str, DataFrame] = {}
 
 
@@ -375,6 +381,16 @@ def _cache_bounded(tag: str, df: DataFrame) -> DataFrame:
             pass
     _LIVE_CACHES[tag] = df.cache()
     return _LIVE_CACHES[tag]
+
+
+def release_operator_caches() -> None:
+    """Unpersist every operator-held cache (see _LIVE_CACHES note)."""
+    for tag in list(_LIVE_CACHES):
+        df = _LIVE_CACHES.pop(tag)
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session is fine
+            pass
 
 
 def minhash_lsh_pairs(

@@ -27,6 +27,7 @@ algorithm is unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -50,6 +51,12 @@ class StateTable:
     invariant) + partition column ``bucket``.
     """
 
+    #: layout marker colocated with the data ("_"-prefixed → invisible
+    #: to Spark's parquet reader, like _SUCCESS). The physical layout is
+    #: the ground truth for the bucket count — a manifest can go stale
+    #: across a crash between a rebucket swap and its manifest commit.
+    META_FILE = "_table_meta.json"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -63,6 +70,68 @@ class StateTable:
         self.keys = keys or CODE_KEY
         self.buckets = buckets
         self.content_col = content_col
+        self._recover()
+        marker = self.layout_buckets(path)
+        if marker is not None and marker != self.buckets:
+            raise ValueError(
+                f"state table at {path} is laid out with buckets={marker} "
+                f"(layout marker) but buckets={self.buckets} was requested; "
+                "construct with the marker value or run rebucket"
+            )
+
+    # -- crash recovery / layout marker ---------------------------------
+
+    @classmethod
+    def layout_buckets(cls, path: str) -> int | None:
+        """Bucket count recorded in the table's layout marker (None for
+        a missing table or one predating the marker)."""
+        meta = os.path.join(path, cls.META_FILE)
+        if not os.path.exists(meta):
+            return None
+        with open(meta, encoding="utf-8") as f:
+            return int(json.load(f)["buckets"])
+
+    def _write_meta(self) -> None:
+        meta = os.path.join(self.path, self.META_FILE)
+        tmp = meta + ".part"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"buckets": self.buckets, "keys": self.keys}, f)
+        os.replace(tmp, meta)
+
+    def _recover(self) -> None:
+        """Undo a crashed swap. Invariants of the swap protocols below:
+        a ``*.old`` directory exists ONLY before the corresponding
+        manifest commit, so restoring it and letting the batch/rebucket
+        re-apply is always correct (LWW idempotence)."""
+        whole_old = f"{self.path}.old"
+        if not os.path.isdir(self.path) and os.path.isdir(whole_old):
+            # rebucket crashed between its two renames → restore the
+            # intact pre-rebucket table (staging is discarded on rerun)
+            os.replace(whole_old, self.path)
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d.startswith("bucket=") and d.endswith(".old"):
+                    src = os.path.join(self.path, d)
+                    dst = os.path.join(self.path, d[: -len(".old")])
+                    if os.path.isdir(dst):
+                        shutil.rmtree(src)  # swap completed; stale trash
+                    else:
+                        os.replace(src, dst)  # swap crashed mid-bucket
+        shutil.rmtree(whole_old, ignore_errors=True)
+
+    def _swap_in(self, src: str, dst: str) -> None:
+        """Replace ``dst`` with ``src`` without a window where neither
+        exists: dst is renamed aside first (never rmtree'd before the
+        replacement lands) and the trash only deleted last. ``src``
+        absent = the bucket emptied out (every key deleted)."""
+        trash = f"{dst}.old"
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
+        if os.path.isdir(dst):
+            os.replace(dst, trash)
+        if os.path.isdir(src):
+            os.replace(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
 
     # -- read ----------------------------------------------------------
 
@@ -95,6 +164,7 @@ class StateTable:
             shutil.rmtree(self.path)
         prepared = self._prepare(like.limit(0)).drop("op")
         prepared.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        self._write_meta()
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         """Add engine metadata columns (bucket, content sha256)."""
@@ -244,14 +314,13 @@ class StateTable:
 
         os.makedirs(self.path, exist_ok=True)
         for b in touched:
-            dst = f"{self.path}/bucket={b}"
-            src = f"{staging}/bucket={b}"
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.replace(src, dst)
-            # else: every key in this bucket was deleted → bucket gone.
+            # rename-aside swap: at no instant is the bucket's data
+            # absent from BOTH {dst} and {dst}.old, so a crash anywhere
+            # here is recovered by _recover() + the batch re-applying
+            # (manifest not yet committed → LWW no-op).
+            self._swap_in(f"{staging}/bucket={b}", f"{self.path}/bucket={b}")
         shutil.rmtree(staging, ignore_errors=True)
+        self._write_meta()
 
         counts = None
         if obs is not None:
@@ -301,29 +370,38 @@ class StateTable:
         """
         if new_buckets < 1:
             raise ValueError("new_buckets must be >= 1")
+        if not self.exists():
+            raise ValueError(f"no state table at {self.path} to rebucket")
         old_buckets = self.buckets
         staging = f"{self.path}.rebucket"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
         df = self.read().drop("bucket")
-        new_bucket = F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(new_buckets)
-        ).cast("int")
         (
-            df.withColumn("bucket", new_bucket)
+            df.withColumn("bucket", key_bucket(self.keys, new_buckets))
             .repartition(new_buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(staging)
         )
         rows = self.spark.read.parquet(staging).count()
+        # Whole-table rename-aside swap. Crash between the two renames
+        # leaves the intact pre-rebucket table in {path}.old, which
+        # _recover() restores on the next construction — the rebucket is
+        # then simply re-run. Crash after the swap but before the
+        # caller's manifest commit is detected by the layout marker
+        # (written with the new B below): the marker, not the manifest,
+        # is the layout's ground truth, and a later merge under the
+        # stale manifest B fails loudly at construction instead of
+        # silently mis-pruning buckets.
         old = f"{self.path}.old"
         if os.path.isdir(old):
             shutil.rmtree(old)
         os.replace(self.path, old)
         os.replace(staging, self.path)
-        shutil.rmtree(old, ignore_errors=True)
         self.buckets = new_buckets
+        self._write_meta()
+        shutil.rmtree(old, ignore_errors=True)
         return {
             "rebucket_from": old_buckets,
             "rebucket_to": new_buckets,
@@ -333,30 +411,43 @@ class StateTable:
 
     def compact(self, target_files_per_bucket: int = 1) -> dict:
         """Per-bucket small-file compaction (OPTIMIZE file-size health):
-        rewrite each bucket's files down to ``target_files_per_bucket``.
-        Same stage-and-swap protocol as merge; contents unchanged."""
+        rewrite each bucket down to ≤ ``target_files_per_bucket`` files.
+        Uses its OWN staging dir (merge() wipes ``.staging`` on entry —
+        sharing it would turn a crashed compaction into data loss at the
+        next merge) and the same rename-aside bucket swap as merge, so a
+        crash at any point leaves every bucket recoverable."""
         if not self.exists():
             return {"compacted_buckets": 0, "buckets": self.buckets}
         bucket_ids = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.path)
-            if d.startswith("bucket=")
+            if d.startswith("bucket=") and not d.endswith(".old")
         )
-        staging = f"{self.path}.staging"
+        staging = f"{self.path}.compacting"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
-        (
-            self.read_buckets(bucket_ids)
-            .repartition(len(bucket_ids) * target_files_per_bucket, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging)
-        )
+        df = self.read_buckets(bucket_ids)
+        if target_files_per_bucket > 1:
+            # a second partition key is required for >1 file per bucket:
+            # repartitioning on the bucket value alone maps each bucket
+            # to exactly one partition (and thus one output file). The
+            # split hash must be seeded INDEPENDENTLY of key_bucket —
+            # xxhash64(keys) % files is fully determined by
+            # xxhash64(keys) % buckets whenever files divides buckets.
+            split = F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.keys], F.lit(0x5EED)),
+                F.lit(target_files_per_bucket),
+            )
+            df = df.repartition(
+                len(bucket_ids) * target_files_per_bucket, F.col("bucket"), split
+            )
+        else:
+            df = df.repartition(len(bucket_ids), "bucket")
+        df.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         for b in bucket_ids:
-            dst, src = f"{self.path}/bucket={b}", f"{staging}/bucket={b}"
+            src = f"{staging}/bucket={b}"
             if os.path.isdir(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(src, dst)
+                self._swap_in(src, f"{self.path}/bucket={b}")
         shutil.rmtree(staging, ignore_errors=True)
         return {"compacted_buckets": len(bucket_ids), "buckets": self.buckets}
 

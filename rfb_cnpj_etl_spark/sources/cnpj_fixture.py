@@ -49,7 +49,7 @@ def _estab_row(i: int) -> list[str]:
         situacao = " "
     else:
         situacao = f"202001{i % 28 + 1:02d}"
-    inicio = f"19900{i % 9 + 1:02d}15" if i % 3 else "00000000"
+    inicio = f"1990{i % 9 + 1:02d}15" if i % 3 else "00000000"
     if i % 4 == 0:
         sec = ""
     else:
@@ -99,9 +99,12 @@ def _empresa_row(i: int) -> list[str]:
 
 
 def ensure_cnpj_fixture(base_dir: str = FIXTURE_DIR) -> list[str]:
-    """Write the fixture files if absent; return their paths. Content is
-    a pure function of the row index, so concurrent/repeated calls
-    converge to identical bytes (write-to-temp + rename)."""
+    """Write the fixture files; return their paths. Content is a pure
+    function of the row index, so concurrent/repeated calls converge to
+    identical bytes (write-to-temp + rename). A file is rewritten when
+    its on-disk bytes differ from the generator's current output —
+    otherwise editing the generator would silently keep serving stale
+    fixture bytes from a previous run."""
     os.makedirs(base_dir, exist_ok=True)
     half = N_ESTAB // 2
     files = {
@@ -113,10 +116,13 @@ def ensure_cnpj_fixture(base_dir: str = FIXTURE_DIR) -> list[str]:
     for name, rows in files.items():
         path = os.path.join(base_dir, name)
         out.append(path)
-        if not os.path.exists(path):
-            tmp = path + ".part"
-            with open(tmp, "w", encoding="ascii", newline="\n") as f:
-                for r in rows:
-                    f.write(";".join(r) + "\n")
-            os.replace(tmp, path)
+        content = "".join(";".join(r) + "\n" for r in rows)
+        if os.path.exists(path):
+            with open(path, encoding="ascii") as f:
+                if f.read() == content:
+                    continue
+        tmp = path + ".part"
+        with open(tmp, "w", encoding="ascii", newline="\n") as f:
+            f.write(content)
+        os.replace(tmp, path)
     return out

@@ -68,7 +68,9 @@ def _doc(i: int) -> dict:
 
 def ensure_jsonl_fixture(base_dir: str = FIXTURE_DIR) -> list[str]:
     """Two deterministic JSONL parts (multi-file union) with one
-    deliberately corrupt line; idempotent write-to-temp + rename."""
+    deliberately corrupt line; write-to-temp + rename, rewritten when
+    on-disk bytes differ from the generator's current output (a stale
+    fixture from an older generator must not survive an edit)."""
     os.makedirs(base_dir, exist_ok=True)
     half = N_DOCS // 2
     parts = {
@@ -80,9 +82,13 @@ def ensure_jsonl_fixture(base_dir: str = FIXTURE_DIR) -> list[str]:
     for name, lines in parts.items():
         path = os.path.join(base_dir, name)
         out.append(path)
-        if not os.path.exists(path):
-            tmp = path + ".part"
-            with open(tmp, "w", encoding="utf-8", newline="\n") as f:
-                f.write("\n".join(lines) + "\n")
-            os.replace(tmp, path)
+        content = "\n".join(lines) + "\n"
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                if f.read() == content:
+                    continue
+        tmp = path + ".part"
+        with open(tmp, "w", encoding="utf-8", newline="\n") as f:
+            f.write(content)
+        os.replace(tmp, path)
     return out

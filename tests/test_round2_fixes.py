@@ -142,14 +142,104 @@ class TestBucketEvolution:
         assert state_dict(eng.state) == before
 
 
-class TestWindowChunking:
-    def test_many_windows_chunked_probe(self, spark, tmp_path, monkeypatch):
-        monkeypatch.setattr(CdcEngine, "WINDOW_CHUNK", 3)
+class TestSwapCrashRecovery:
+    def _table(self, spark, tmp_path, rows=32):
+        st = StateTable(spark, str(tmp_path / "s"), buckets=4)
+        st.merge(log_df(spark, [row("r", f"p{i}", f"v{i}", i) for i in range(rows)]))
+        return st
+
+    def test_mid_bucket_swap_crash_restores(self, spark, tmp_path):
+        import os
+
+        st = self._table(spark, tmp_path)
+        before = state_dict(st)
+        # simulate a crash inside _swap_in: dst renamed aside, new data
+        # never landed (bucket temporarily absent, .old holds the rows)
+        b = next(d for d in os.listdir(st.path) if d.startswith("bucket="))
+        os.replace(f"{st.path}/{b}", f"{st.path}/{b}.old")
+        st2 = StateTable(spark, st.path, buckets=4)  # recovery runs here
+        assert state_dict(st2) == before
+        assert not any(d.endswith(".old") for d in os.listdir(st.path))
+
+    def test_rebucket_mid_swap_crash_restores(self, spark, tmp_path):
+        import os
+
+        st = self._table(spark, tmp_path)
+        before = state_dict(st)
+        # simulate a crash between rebucket's two whole-table renames
+        os.replace(st.path, f"{st.path}.old")
+        st2 = StateTable(spark, st.path, buckets=4)
+        assert state_dict(st2) == before
+
+    def test_layout_marker_survives_stale_manifest(self, spark, tmp_path):
+        """Crash after the rebucket swap but before the manifest commit:
+        the layout marker, not the manifest, must drive B resolution."""
+        state, man = str(tmp_path / "s"), str(tmp_path / "m.jsonl")
+        log = synthesize_changelog(spark, 400, n_repos=4, n_paths=20).cache()
+        eng = CdcEngine(spark, state, man, buckets=4)
+        eng.replay(log, batch_size=400)
+        manifest_before = open(man).read()
+        eng.rebucket(16)
+        with open(man, "w") as f:  # "lose" the rebucket's manifest commit
+            f.write(manifest_before)
+        eng2 = CdcEngine(spark, state, man)  # marker wins over manifest
+        assert eng2.state.buckets == 16
+        assert eng2.verify_against(expected_final_state(log))["ok"]
+        with pytest.raises(ValueError, match="layout"):
+            StateTable(spark, state, buckets=4)
+
+    def test_compact_files_per_bucket(self, spark, tmp_path):
+        import glob
+
+        st = self._table(spark, tmp_path, rows=64)
+        before = state_dict(st)
+        st.compact(target_files_per_bucket=2)
+        assert state_dict(st) == before
+        per_bucket = [
+            len(glob.glob(f"{st.path}/bucket={b}/*.parquet")) for b in range(4)
+        ]
+        assert max(per_bucket) == 2, per_bucket
+
+    def test_cli_init_records_buckets(self, spark, tmp_path, capsys):
+        from rfb_cnpj_etl_spark import cli
+
+        state, man = str(tmp_path / "s"), str(tmp_path / "m.jsonl")
+        log_path = str(tmp_path / "log")
+        synthesize_changelog(spark, 200, n_repos=3, n_paths=10).write.parquet(
+            log_path
+        )
+        assert cli.main(
+            ["init", "--state", state, "--manifest", man, "--buckets", "8"]
+        ) == 0
+        # bare replay (no --buckets) must pick up 8, not the default 32
+        assert cli.main(
+            ["replay", "--state", state, "--manifest", man, "--log", log_path]
+        ) == 0
+        assert StateTable.layout_buckets(state) == 8
+
+
+class TestWindowEnumeration:
+    def test_many_windows_streamed_probe(self, spark, tmp_path):
         log = synthesize_changelog(spark, 1000, n_repos=5, n_paths=30).cache()
         eng = CdcEngine(spark, str(tmp_path / "s"), str(tmp_path / "m.jsonl"))
-        entries = eng.replay(log, batch_size=100)  # 10 windows, 4 chunks
+        entries = eng.replay(log, batch_size=100)  # 10 windows
         assert len(entries) == 10
         assert eng.verify_against(expected_final_state(log))["ok"]
+
+    def test_sparse_lsn_space_enumerates_only_nonempty_windows(
+        self, spark, tmp_path
+    ):
+        """Timestamp-like LSNs: 20 events spread over a 2·10⁷-window
+        numeric range. Only the 20 NON-EMPTY windows may be processed —
+        iterating the numeric range would mean ~2·10⁷ windows' worth of
+        probe work before the first batch applies."""
+        base = synthesize_changelog(spark, 20, n_repos=3, n_paths=10)
+        sparse = base.withColumn("lsn", F.col("lsn") * 1_000_000)
+        eng = CdcEngine(spark, str(tmp_path / "s"), str(tmp_path / "m.jsonl"))
+        entries = eng.replay(sparse, batch_size=1000)
+        assert len(entries) == 20  # one per event-bearing window, no more
+        assert eng.verify_against(expected_final_state(sparse))["ok"]
+        assert eng.manifest.high_watermark() == 19 * 1_000_000
 
 
 class TestStatefulChunking:
