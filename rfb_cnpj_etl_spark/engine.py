@@ -153,10 +153,18 @@ class CdcEngine:
         probe = pending if self.normalize is None else self.normalize(pending)
         bucket_col = key_bucket(self.state.keys, self.state.buckets)
         win = F.floor(F.col(lsn_col) / F.lit(batch_size)).cast("long")
+        # Globally ordered via range partitioning into FEW partitions:
+        # toLocalIterator launches one fetch job per partition, so
+        # leaving the agg at spark.sql.shuffle.partitions would add that
+        # many scheduling round-trips per replay for a table that is
+        # tiny relative to the data (≤ windows × buckets rows); 8
+        # partitions keeps the per-fetch driver footprint bounded at
+        # scale while costing at most 8 fetches.
         pairs = (
             probe.groupBy(win.alias("__w"), bucket_col.alias("__b"))
             .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
-            .sort("__w", "__b")
+            .repartitionByRange(8, F.col("__w"), F.col("__b"))
+            .sortWithinPartitions("__w", "__b")
         )
 
         entries = []
