@@ -36,11 +36,19 @@ class StreamingCdcPipeline:
         keys: list[str] | None = None,
         buckets: int | None = None,
         max_files_per_trigger: int = 8,
+        schema=None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        # Structured Streaming fixes the source schema at query start, so
+        # add-column evolution mid-STREAM is not possible in Spark; the
+        # supported flow is: stop the query, restart the pipeline with
+        # the evolved schema (same checkpoint — only new files are read;
+        # old parquet files simply yield NULL for the new column), and
+        # apply_batch's registry records the evolution as usual.
+        self.schema = schema or CHANGELOG_SCHEMA
         # one engine implementation for batch replay AND streaming: each
         # epoch goes through the same normalize → MERGE → manifest path,
         # so streaming inherits schema evolution, per-bucket metrics and
@@ -75,7 +83,7 @@ class StreamingCdcPipeline:
         currently in the source and stops (test/replay mode); False
         tails the directory continuously."""
         stream = (
-            self.spark.readStream.schema(CHANGELOG_SCHEMA)
+            self.spark.readStream.schema(self.schema)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.source_dir)
         )

@@ -147,3 +147,46 @@ class TestStreamingDedupWithinWatermark:
             "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream"
         ).collect()[0]
         assert got["n"] == 500 and got["d"] == 500
+
+
+class TestStreamingSchemaEvolution:
+    def test_restart_with_evolved_schema(self, spark, tmp_path):
+        """Add-column evolution across a stream restart: phase 1 streams
+        the base schema; phase 2 restarts the SAME checkpoint with the
+        evolved schema over newly arrived files carrying the new column.
+        Old rows surface NULL, new rows populated, no reprocessing."""
+        from pyspark.sql import types as T
+
+        from rfb_cnpj_etl_spark.schema import CHANGELOG_SCHEMA
+        from rfb_cnpj_etl_spark.streaming.pipeline import StreamingCdcPipeline
+
+        src = str(tmp_path / "src")
+        log = synthesize_changelog(spark, 600, n_repos=4, n_paths=20, evolve_at=300)
+        log.filter("lsn < 300").drop("branch").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        common = dict(
+            source_dir=src,
+            state_path=str(tmp_path / "state"),
+            manifest_path=str(tmp_path / "m.jsonl"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        p1 = StreamingCdcPipeline(spark, **common)
+        p1.run_until_drained()
+        assert "branch" not in p1.engine.final_state().columns
+
+        # new files arrive WITH the evolved column; restart on the same
+        # checkpoint with the evolved schema
+        log.filter("lsn >= 300").coalesce(1).write.mode("append").parquet(src)
+        evolved = T.StructType(
+            list(CHANGELOG_SCHEMA.fields)
+            + [T.StructField("branch", T.StringType(), True)]
+        )
+        p2 = StreamingCdcPipeline(spark, schema=evolved, **common)
+        p2.run_until_drained()
+        fs = p2.engine.final_state()
+        assert "branch" in fs.columns
+        assert fs.filter("lsn < 300 AND branch IS NOT NULL").count() == 0
+        assert fs.filter("lsn >= 300 AND branch IS NULL").count() == 0
+        assert p2.engine.verify_against(expected_final_state(log))["ok"]
