@@ -13,6 +13,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from rfb_cnpj_etl_spark.engine import CdcEngine
+from rfb_cnpj_etl_spark.gen import expected_final_state, synthesize_changelog
 from rfb_cnpj_etl_spark.operators.dedup import (
     last_writer_wins,
     last_writer_wins_agg,
@@ -28,11 +30,23 @@ _OPS = st.lists(_OP, min_size=1, max_size=40)
 def _rows(events):
     # lsn = i // 2 pairs events on the same LSN so the delete-beats-
     # upsert tie-break is actually exercised, not just unique-LSN LWW.
-    return [
-        (f"r{r}", f"p{p}", f"c{i}", "python", f"v{i}", i // 2,
-         "delete" if d else "upsert")
-        for i, (r, p, d) in enumerate(events)
-    ]
+    # Contract guard (SURVEY §7.4.2): the total order (lsn, delete-
+    # priority) defines a SINGLE winner only if a (key, lsn) pair holds
+    # at most one upsert and one delete — two same-op events on the same
+    # (key, lsn) are outside the changelog contract (hypothesis found
+    # exactly that case: the engines' pick is then arbitrary), so the
+    # generator drops such duplicates.
+    out, seen = [], set()
+    for i, (r, p, d) in enumerate(events):
+        key = (r, p, i // 2, d)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(
+            (f"r{r}", f"p{p}", f"c{i}", "python", f"v{i}", i // 2,
+             "delete" if d else "upsert")
+        )
+    return out
 
 
 def _python_oracle(rows):
@@ -97,3 +111,33 @@ class TestLwwProperties:
             for r in table.read().collect()
         } if table.exists() else {}
         assert got == {k: v[:3] for k, v in expected.items()}
+
+
+class TestResumeFuzz:
+    """Exactly-once under arbitrary interruption points: replay a prefix
+    of the log (simulating a crash after N events arrived), then the
+    full log — the final state must equal a one-shot replay regardless
+    of where the cut lands relative to batch windows, and the resumed
+    replay must not re-apply committed batches."""
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        cut=st.integers(1, 299),
+        batch_size=st.sampled_from([37, 100, 150, 400]),
+    )
+    def test_resume_at_arbitrary_cut(self, spark, tmp_path_factory, cut, batch_size):
+        log = synthesize_changelog(spark, 300, n_repos=4, n_paths=15)
+        d = tmp_path_factory.mktemp("resume_fuzz")
+        eng = CdcEngine(spark, str(d / "s"), str(d / "m.jsonl"))
+        first = eng.replay(log.filter(f"lsn < {cut}"), batch_size=batch_size)
+        assert eng.manifest.high_watermark() == cut - 1
+        second = eng.replay(log, batch_size=batch_size)
+        # resumed entries only cover LSNs past the watermark
+        assert all(e["lsn_lo"] >= cut for e in second if not e.get("skipped"))
+        assert eng.verify_against(expected_final_state(log))["ok"]
+        # re-delivery after full application is a complete no-op
+        assert eng.replay(log, batch_size=batch_size) == []
