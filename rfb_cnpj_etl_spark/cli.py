@@ -126,6 +126,14 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_health(args) -> int:
+    eng = _engine(args)
+    h = eng.state.health()
+    h.pop("per_bucket", None)  # keep the one-line summary greppable
+    print(json.dumps(h))
+    return 0
+
+
 def cmd_gen(args) -> int:
     spark = get_spark("rfb_cnpj_etl_spark_cli")
     synthesize_changelog(
@@ -187,6 +195,12 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--files-per-bucket", type=int, default=1)
     sp.set_defaults(fn=cmd_optimize)
+
+    sp = sub.add_parser(
+        "health", help="file-size/skew health report (metadata-only)"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_health)
 
     sp = sub.add_parser("gen", help="seeded synthetic changelog generator")
     sp.add_argument("--log", required=True)

@@ -479,6 +479,155 @@ def simhash_bits(hash_family: str) -> int:
     return 60 if hash_family == "md5" else 64
 
 
+class MinhashIndex:
+    """Incrementally maintained MinHash signature index — near-dup
+    detection as part of ingest, not as a periodic full recompute.
+
+    At 100 TB the all-pairs (even banded) recomputation over the whole
+    corpus per drop is the real cost; what changes per CDC batch is a
+    sliver of documents. The index persists each document's signature
+    (num_hashes longs — ~128 B/doc, orders of magnitude smaller than
+    content) and each batch:
+
+    1. ``update(new_docs)`` upserts the new/changed docs' signatures
+       (staged rewrite + atomic rename, same pattern as StateTable);
+    2. ``incremental_pairs(new_docs)`` band-joins the NEW side only
+       against the whole index — candidates are new×corpus, old×old
+       pairs are never regenerated.
+
+    Layout note: a single parquet dir suffices for the signature table
+    here; at full scale the signatures ride the state table itself as
+    engine columns (same bucketed layout, same swap protocol), which
+    this class models independently to keep the operator reusable over
+    any corpus table.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+        hash_family: str = "xxhash64",
+    ) -> None:
+        assert num_hashes % bands == 0
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.hash_family = hash_family
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.path)
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _sigs_of(self, docs: DataFrame, content_col: str, id_col: str) -> DataFrame:
+        return minhash_signatures(
+            docs, content_col, id_col, self.k, self.num_hashes, self.hash_family
+        )
+
+    def update(
+        self, docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    ) -> int:
+        """Upsert the batch's signatures; returns the index row count."""
+        import os
+        import shutil
+
+        new_sigs = self._sigs_of(docs, content_col, id_col)
+        if self.exists():
+            merged = (
+                self.signatures()
+                .join(new_sigs.select("id"), "id", "left_anti")
+                .unionByName(new_sigs)
+            )
+        else:
+            merged = new_sigs
+        staging = f"{self.path}.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        n = self.spark.read.parquet(staging).count()
+        old = f"{self.path}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.path):
+            os.replace(self.path, old)
+        os.replace(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return int(n)
+
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        r = self.num_hashes // self.bands
+
+        def band_key(b: int) -> Column:
+            joined = F.array_join(
+                F.transform(
+                    F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+            return joined if self.hash_family == "md5" else F.xxhash64(joined)
+
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+                        for b in range(self.bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "sig", "bb.band", "bb.bucket")
+
+    def incremental_pairs(
+        self,
+        new_docs: DataFrame,
+        content_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Candidate near-dup pairs touching at least one NEW document:
+        band join of the new side against the full index (which must
+        already include the new docs via ``update``). Old×old pairs are
+        never rebuilt; new×new pairs come out once (id_a < id_b)."""
+        new_banded = self._banded(self._sigs_of(new_docs, content_col, id_col))
+        all_banded = self._banded(self.signatures())
+        cand = (
+            new_banded.alias("a")
+            .join(all_banded.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+                F.when(F.col("a.id") < F.col("b.id"), F.col("a.sig"))
+                .otherwise(F.col("b.sig"))
+                .alias("sig_a"),
+                F.when(F.col("a.id") < F.col("b.id"), F.col("b.sig"))
+                .otherwise(F.col("a.sig"))
+                .alias("sig_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        est = cand.withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(self.num_hashes),
+        )
+        return est.filter(F.col("est_jaccard") >= threshold).select(
+            "id_a", "id_b", "est_jaccard"
+        )
+
+
 def simhash_table(
     df: DataFrame,
     content_col: str = "text",

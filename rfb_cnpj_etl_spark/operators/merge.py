@@ -451,6 +451,47 @@ class StateTable:
         shutil.rmtree(staging, ignore_errors=True)
         return {"compacted_buckets": len(bucket_ids), "buckets": self.buckets}
 
+    def health(self) -> dict:
+        """File-size health report (the observability half of OPTIMIZE —
+        reference analog: the index pass deciding what to build,
+        db/sqlite_builder.py:127-168): per-bucket file counts and bytes,
+        plus aggregate skew indicators, from pure filesystem metadata
+        (no Spark job). Feeds the compact/rebucket decision: many small
+        files per bucket → compact; max/median bucket bytes ≫ 1 →
+        key-space skew; bucket bytes near the executor-memory budget →
+        rebucket to a larger B."""
+        if not self.exists():
+            return {"buckets": 0, "files": 0, "bytes": 0, "per_bucket": {}}
+        per_bucket: dict[int, dict] = {}
+        for d in sorted(os.listdir(self.path)):
+            if not d.startswith("bucket=") or d.endswith(".old"):
+                continue
+            b = int(d.split("=", 1)[1])
+            files = [
+                e
+                for e in os.listdir(os.path.join(self.path, d))
+                if e.endswith(".parquet")
+            ]
+            nbytes = sum(
+                os.path.getsize(os.path.join(self.path, d, e)) for e in files
+            )
+            per_bucket[b] = {"files": len(files), "bytes": nbytes}
+        sizes = sorted(v["bytes"] for v in per_bucket.values())
+        total = sum(sizes)
+        median = sizes[len(sizes) // 2] if sizes else 0
+        return {
+            "buckets": len(per_bucket),
+            "files": sum(v["files"] for v in per_bucket.values()),
+            "bytes": total,
+            "max_bucket_bytes": sizes[-1] if sizes else 0,
+            "median_bucket_bytes": median,
+            "skew_ratio": round(sizes[-1] / median, 2) if median else 0.0,
+            "max_files_per_bucket": max(
+                (v["files"] for v in per_bucket.values()), default=0
+            ),
+            "per_bucket": per_bucket,
+        }
+
     # -- audits (reference S10/S12 analogs) -----------------------------
 
     def audit_key_uniqueness(self) -> int:

@@ -104,6 +104,56 @@ class TestHashFamilies:
             D.simhash_table(docs, "text", "doc_id", hash_family="nope")
 
 
+class TestMinhashIndex:
+    def test_incremental_update_and_pairs(self, spark, tmp_path):
+        from rfb_cnpj_etl_spark.operators.dedup import MinhashIndex
+
+        base = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog tonight"),
+                (1, "a completely different document about spark plans"),
+                (2, "yet another unrelated text with its own words here"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = MinhashIndex(spark, str(tmp_path / "mh_index"))
+        assert idx.update(base) == 3
+
+        # batch 2: one near-dup of doc 0, one fresh doc
+        batch = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog today"),
+                (11, "entirely novel content nothing shares these tokens"),
+            ],
+            "doc_id long, text string",
+        )
+        assert idx.update(batch) == 5
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in idx.incremental_pairs(batch, threshold=0.3).collect()
+        }
+        assert (0, 10) in pairs
+        # old×old pairs are never regenerated
+        assert all(a in (10, 11) or b in (10, 11) for a, b in pairs)
+
+    def test_update_replaces_changed_doc(self, spark, tmp_path):
+        from rfb_cnpj_etl_spark.operators.dedup import MinhashIndex
+
+        idx = MinhashIndex(spark, str(tmp_path / "mh_index"))
+        v1 = spark.createDataFrame(
+            [(7, "original content of the document")], "doc_id long, text string"
+        )
+        idx.update(v1)
+        sig1 = idx.signatures().collect()[0]["sig"]
+        v2 = spark.createDataFrame(
+            [(7, "totally rewritten content after an upsert event")],
+            "doc_id long, text string",
+        )
+        assert idx.update(v2) == 1  # upsert, not append
+        sig2 = idx.signatures().collect()[0]["sig"]
+        assert sig1 != sig2
+
+
 class TestNgramDfCap:
     def test_cap_none_equals_uncapped_exact(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
