@@ -393,6 +393,36 @@ def release_operator_caches() -> None:
             pass
 
 
+def band_explode(
+    sigs: DataFrame, num_hashes: int, bands: int, hash_family: str
+) -> DataFrame:
+    """(id, sig) → one (id, sig, band, bucket) row per band. The bucket
+    is the joined lane string for the md5 (oracle-parity) family —
+    xxhash64 has no DuckDB twin — and its xxhash64 compression for the
+    engine family."""
+    r = num_hashes // bands
+
+    def band_key(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
+            ",",
+        )
+        return joined if hash_family == "md5" else F.xxhash64(joined)
+
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -416,35 +446,11 @@ def minhash_lsh_pairs(
     driver oracle can value-check the pairs.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = _cache_bounded(
         "minhash_sig",
         minhash_signatures(df, content_col, id_col, k, num_hashes, hash_family),
     )
-
-    def band_key(b: int) -> Column:
-        joined = F.array_join(
-            F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
-            ",",
-        )
-        # engine path compresses the key to a long; the oracle-parity
-        # path keeps the raw string (xxhash64 has no DuckDB twin)
-        return joined if hash_family == "md5" else F.xxhash64(joined)
-
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_key(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = band_explode(sig, num_hashes, bands, hash_family)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -560,29 +566,7 @@ class MinhashIndex:
         return int(n)
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
-        r = self.num_hashes // self.bands
-
-        def band_key(b: int) -> Column:
-            joined = F.array_join(
-                F.transform(
-                    F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
-                ),
-                ",",
-            )
-            return joined if self.hash_family == "md5" else F.xxhash64(joined)
-
-        return sigs.select(
-            "id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
-                        for b in range(self.bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("id", "sig", "bb.band", "bb.bucket")
+        return band_explode(sigs, self.num_hashes, self.bands, self.hash_family)
 
     def incremental_pairs(
         self,
