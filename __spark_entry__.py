@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": Q.doc_quality,
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,
         "minhash_dups": Q.minhash_dups,
+        "minhash_incremental": Q.minhash_incremental,
         "simhash_dups": Q.simhash_dups,
         "doc_text_features": Q.doc_text_features,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -696,6 +697,33 @@ def oracle_sql() -> dict[str, str]:
               JOIN sig sb ON sb.id = c.id_b
             )
             SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        """,
+        # The incremental index must equal the from-scratch LSH pipeline
+        # restricted to pairs touching the "new batch" slice
+        # (doc_id % 10 < 2) — the oracle IS that restriction, so a stale
+        # posting, a missed removal, or an unpruned/overpruned partition
+        # read in the bucketed index would all hash-mismatch here.
+        "minhash_incremental": f"""
+            {_SHINGLES},
+            sig AS ({_minhash_sig_sql()}),
+            banded AS (
+              {_minhash_band_sql()}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.id < b.id
+            ),
+            est AS (
+              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.id = c.id_a
+              JOIN sig sb ON sb.id = c.id_b
+            )
+            SELECT id_a, id_b, est_jaccard FROM est
+            WHERE est_jaccard >= 0.5
+              AND (id_a % 10 < 2 OR id_b % 10 < 2)
         """,
         "simhash_dups": f"""
             WITH toks AS ({_TOKS}),

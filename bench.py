@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_quality",
     "ngram_jaccard_dups",
     "minhash_dups",
+    "minhash_incremental",
     "simhash_dups",
     "embedding_near_dups",
     "ann_cosine_topk",
@@ -166,6 +167,19 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
 
+    # round-2 watch list (q3_group_concat +1.5s, window_running_sum
+    # +0.7s with no code change — suspected host weather): 3 extra timed
+    # reps each so BENCH_r03 carries its own repeatability evidence
+    # instead of a single noisy sample.
+    watchlist: dict[str, list[float]] = {}
+    for name in ("q3_group_concat", "window_running_sum"):
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps.append(round(time.time() - t0, 3))
+        watchlist[name] = reps
+
     replay = time_replay(spark, SF_DIR)
     times["cdc_replay"] = replay["seconds"]
     total += replay["seconds"]
@@ -189,6 +203,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "watchlist_reps": watchlist,
                 "delta_vs_prev": delta,
                 "sf": sf_val,
                 "cores": CPUS,

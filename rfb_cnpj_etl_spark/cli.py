@@ -72,7 +72,22 @@ def cmd_init(args) -> int:
 def cmd_replay(args) -> int:
     eng = _engine(args)
     log = eng.spark.read.parquet(args.log)
-    entries = eng.replay(log, batch_size=args.batch_size)
+    idx = None
+    if getattr(args, "minhash_index", None):
+        from .operators.dedup import MinhashIndex
+
+        idx = MinhashIndex(eng.spark, args.minhash_index)
+    maintenance = None
+    if getattr(args, "maintain", False):
+        from .engine import MaintenancePolicy
+
+        maintenance = MaintenancePolicy()
+    entries = eng.replay(
+        log,
+        batch_size=args.batch_size,
+        minhash_index=idx,
+        maintenance=maintenance,
+    )
     # nothing pending + never-created state table → report 0 rows, don't
     # blow up on a parquet read of a nonexistent path.
     rows = eng.final_state().count() if eng.state.exists() else 0
@@ -127,10 +142,35 @@ def cmd_optimize(args) -> int:
 
 
 def cmd_health(args) -> int:
-    eng = _engine(args)
-    h = eng.state.health()
+    # documented as metadata-only: pure os.listdir/getsize over the
+    # table path — no SparkSession (JVM startup) for a report that
+    # never runs a Spark job.
+    from .operators.store import path_health
+
+    h = path_health(args.state)
     h.pop("per_bucket", None)  # keep the one-line summary greppable
     print(json.dumps(h))
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    from .engine import MaintenancePolicy
+
+    eng = _engine(args)
+    idx = None
+    if args.minhash_index:
+        from .operators.dedup import MinhashIndex
+
+        idx = MinhashIndex(eng.spark, args.minhash_index)
+    policy = MaintenancePolicy(
+        max_files_per_bucket=args.max_files_per_bucket,
+        auto_compact=not args.dry_run,
+        rebucket_above_bucket_bytes=args.rebucket_above_bytes,
+        auto_rebucket=args.auto_rebucket and not args.dry_run,
+    )
+    report = eng.maintain(policy, minhash_index=idx)
+    report.pop("manifest_entry", None)
+    print(json.dumps(report))
     return 0
 
 
@@ -170,6 +210,17 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--log", required=True)
     sp.add_argument("--batch-size", type=int, default=1_000_000)
+    sp.add_argument(
+        "--minhash-index",
+        default=None,
+        help="path of a MinHash index to maintain during the replay "
+        "(near-dup pairs surface per batch in the manifest)",
+    )
+    sp.add_argument(
+        "--maintain",
+        action="store_true",
+        help="run the default maintenance policy after the replay",
+    )
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("verify", help="sha256 differential vs oracle final state")
@@ -197,10 +248,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_optimize)
 
     sp = sub.add_parser(
-        "health", help="file-size/skew health report (metadata-only)"
+        "health", help="file-size/skew health report (metadata-only, no JVM)"
+    )
+    # health reads the filesystem only — it deliberately does NOT take
+    # the common options that would construct an engine/session.
+    sp.add_argument("--state", required=True)
+    sp.set_defaults(fn=cmd_health)
+
+    sp = sub.add_parser(
+        "maintain",
+        help="health-driven compaction/rebucket per the maintenance policy",
     )
     common(sp)
-    sp.set_defaults(fn=cmd_health)
+    sp.add_argument("--minhash-index", default=None)
+    sp.add_argument("--max-files-per-bucket", type=int, default=8)
+    sp.add_argument("--rebucket-above-bytes", type=int, default=None)
+    sp.add_argument("--auto-rebucket", action="store_true")
+    sp.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="report recommendations only; rewrite nothing",
+    )
+    sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser("gen", help="seeded synthetic changelog generator")
     sp.add_argument("--log", required=True)

@@ -211,6 +211,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 50,
+    cache: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -262,7 +263,7 @@ def ngram_jaccard_pairs(
     # the posting list feeds THREE consumers (per-doc sizes + both join
     # sides) and shingle construction is the expensive part (higher-order
     # array expressions are interpreted, not codegen'd) — cache it once.
-    sh = _cache_bounded("ngram_postings", sh)
+    sh = _cache_bounded("ngram_postings", sh, cache)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -358,35 +359,41 @@ def minhash_signatures(
     )
 
 
-#: most-recently cached signature/sketch DF per operator — unpersisted on
-#: the NEXT call so repeated invocations in one session don't accumulate
-#: executor memory (the returned DataFrame is lazy, so the current call's
-#: cache must outlive the function; bounding to one live cache per
-#: operator is the practical fix). Two deliberate consequences:
-#: (1) after the LAST call, one cache per operator stays resident until
+#: most-recently cached signature/sketch DF per (session, operator) —
+#: unpersisted on the NEXT call so repeated invocations in one session
+#: don't accumulate executor memory (the returned DataFrame is lazy, so
+#: the current call's cache must outlive the function; bounding to one
+#: live cache per operator is the practical fix). Keying by session id
+#: means a second SparkSession never evicts (or retains) the first's
+#: caches. Two deliberate consequences remain: (1) after the LAST call,
+#: one cache per operator stays resident until
 #: :func:`release_operator_caches` (or session stop) — call it from
 #: long-lived drivers once results are materialized; (2) interleaving two
-#: UNmaterialized results of the same operator (build A, build B, then
-#: collect A) loses A's cache and recomputes — materialize each result
-#: before building the next, or persist it yourself.
-_LIVE_CACHES: dict[str, DataFrame] = {}
+#: UNmaterialized results of the same operator in one session (build A,
+#: build B, then collect A) loses A's cache and recomputes — materialize
+#: each result before building the next, pass ``cache=False`` and manage
+#: persistence yourself, or persist it yourself.
+_LIVE_CACHES: dict[tuple[int, str], DataFrame] = {}
 
 
-def _cache_bounded(tag: str, df: DataFrame) -> DataFrame:
-    prev = _LIVE_CACHES.get(tag)
+def _cache_bounded(tag: str, df: DataFrame, cache: bool = True) -> DataFrame:
+    if not cache:
+        return df
+    key = (id(df.sparkSession), tag)
+    prev = _LIVE_CACHES.get(key)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:  # noqa: BLE001 — a stopped session is fine
             pass
-    _LIVE_CACHES[tag] = df.cache()
-    return _LIVE_CACHES[tag]
+    _LIVE_CACHES[key] = df.cache()
+    return _LIVE_CACHES[key]
 
 
 def release_operator_caches() -> None:
     """Unpersist every operator-held cache (see _LIVE_CACHES note)."""
-    for tag in list(_LIVE_CACHES):
-        df = _LIVE_CACHES.pop(tag)
+    for key in list(_LIVE_CACHES):
+        df = _LIVE_CACHES.pop(key)
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — a stopped session is fine
@@ -432,6 +439,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    cache: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs, verified by signature
     similarity.
@@ -449,6 +457,7 @@ def minhash_lsh_pairs(
     sig = _cache_bounded(
         "minhash_sig",
         minhash_signatures(df, content_col, id_col, k, num_hashes, hash_family),
+        cache,
     )
     banded = band_explode(sig, num_hashes, bands, hash_family)
     cand = (
@@ -486,27 +495,46 @@ def simhash_bits(hash_family: str) -> int:
 
 
 class MinhashIndex:
-    """Incrementally maintained MinHash signature index — near-dup
-    detection as part of ingest, not as a periodic full recompute.
+    """Incrementally maintained MinHash index — near-dup detection as
+    part of ingest, not as a periodic full recompute.
 
     At 100 TB the all-pairs (even banded) recomputation over the whole
     corpus per drop is the real cost; what changes per CDC batch is a
-    sliver of documents. The index persists each document's signature
-    (num_hashes longs — ~128 B/doc, orders of magnitude smaller than
-    content) and each batch:
+    sliver of documents. Round 2 kept one flat parquet dir and rewrote
+    (and re-banded) ALL of it every batch — O(corpus) I/O per
+    micro-batch, the layout this round replaces. The index is now TWO
+    bucket-partitioned stores riding :class:`BucketedParquetStore`
+    (operators/store.py — StateTable's exact layout, swap and recovery
+    protocol):
 
-    1. ``update(new_docs)`` upserts the new/changed docs' signatures
-       (staged rewrite + atomic rename, same pattern as StateTable);
-    2. ``incremental_pairs(new_docs)`` band-joins the NEW side only
-       against the whole index — candidates are new×corpus, old×old
-       pairs are never regenerated.
+    * ``{path}/sig``  — signatures ``(id, sig)``, partitioned by
+      ``pmod(xxhash64(id), B)``: the upsert/delete side. An update
+      rewrites only the id-buckets the batch's changed ids hash to.
+    * ``{path}/post`` — PRE-BANDED postings ``(band, bkey, id, sig)``,
+      partitioned by ``pmod(xxhash64(band, bkey), B)``: the lookup side.
+      ``incremental_pairs`` prunes the index scan to the partitions the
+      new side's (band, bkey) keys hash to, instead of band-exploding
+      the whole corpus per call; an update rewrites only the partitions
+      holding the changed ids' old or new band keys (the old band keys
+      are recovered from the stored signatures BEFORE the swap, so
+      stale postings of a changed/deleted doc are removed exactly).
 
-    Layout note: a single parquet dir suffices for the signature table
-    here; at full scale the signatures ride the state table itself as
-    engine columns (same bucketed layout, same swap protocol), which
-    this class models independently to keep the operator reusable over
-    any corpus table.
+    Per-batch I/O is therefore O(touched buckets) ≈
+    O(batch × (1 + bands) × bucket_size), never O(corpus) — the
+    reference's touch-only-what-changed batch-ratio knob
+    (``config.py:31-34``) applied to the dedup index.
+
+    Cross-store atomicity: both stagings are written first (reading only
+    pre-update state), then a swap journal is committed
+    (``_swap_journal.json``, atomic rename), then both stores' buckets
+    are swapped. A crash anywhere is redone from the journal at the
+    next construction (swaps are recorded with their staged-bucket sets,
+    so completed swaps are skipped and emptied buckets are still
+    emptied) — the round-2 ADVICE hole (a crash mid-rename silently
+    dropping the whole index) is closed by construction.
     """
+
+    JOURNAL = "_swap_journal.json"
 
     def __init__(
         self,
@@ -516,74 +544,270 @@ class MinhashIndex:
         num_hashes: int = 16,
         bands: int = 4,
         hash_family: str = "xxhash64",
+        buckets: int = 64,
     ) -> None:
         assert num_hashes % bands == 0
+        from .store import BucketedParquetStore
+
         self.spark = spark
         self.path = path
         self.k = k
         self.num_hashes = num_hashes
         self.bands = bands
         self.hash_family = hash_family
-
-    def exists(self) -> bool:
+        self.buckets = buckets
         import os
 
-        return os.path.isdir(self.path)
+        os.makedirs(path, exist_ok=True)
+        self.sig_store = BucketedParquetStore(
+            spark, os.path.join(path, "sig"), buckets
+        )
+        self.post_store = BucketedParquetStore(
+            spark, os.path.join(path, "post"), buckets
+        )
+        self._recover_journal()
+
+    # -- crash recovery --------------------------------------------------
+
+    def _journal_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, self.JOURNAL)
+
+    def _recover_journal(self) -> None:
+        """Redo a crashed two-store swap from the journal. For each
+        store entry: a touched bucket whose staged dir still exists is
+        swapped now; one whose staged dir is gone but was staged is
+        already swapped (the rename consumed it) — skip; one never
+        staged means the bucket emptied out — remove the live dir
+        (idempotent). Re-crashing mid-redo just redoes less next time."""
+        import json
+        import os
+        import shutil
+
+        jp = self._journal_path()
+        if not os.path.exists(jp):
+            return
+        with open(jp, encoding="utf-8") as f:
+            journal = json.load(f)
+        for ent in journal["stores"]:
+            store = (
+                self.sig_store if ent["store"] == "sig" else self.post_store
+            )
+            staging, staged = ent["staging"], set(ent["staged"])
+            os.makedirs(store.path, exist_ok=True)
+            for b in ent["touched"]:
+                src = f"{staging}/bucket={b}"
+                if os.path.isdir(src) or b not in staged:
+                    store._swap_in(src, f"{store.path}/bucket={b}")
+            store._write_meta()
+        os.remove(jp)
+        for ent in journal["stores"]:
+            shutil.rmtree(ent["staging"], ignore_errors=True)
+
+    # -- helpers ---------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.sig_store.exists()
 
     def signatures(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.sig_store.read().select("id", "sig")
 
     def _sigs_of(self, docs: DataFrame, content_col: str, id_col: str) -> DataFrame:
         return minhash_signatures(
             docs, content_col, id_col, self.k, self.num_hashes, self.hash_family
         )
 
-    def update(
-        self, docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
-    ) -> int:
-        """Upsert the batch's signatures; returns the index row count."""
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        """(id, sig) → pre-banded posting rows (band, bkey, id, sig)."""
+        return band_explode(
+            sigs, self.num_hashes, self.bands, self.hash_family
+        ).withColumnRenamed("bucket", "bkey")
+
+    def _sig_bucket(self) -> Column:
+        from .store import key_bucket
+
+        return key_bucket(["id"], self.buckets)
+
+    def _post_bucket(self) -> Column:
+        from .store import key_bucket
+
+        return key_bucket(["band", "bkey"], self.buckets)
+
+    @staticmethod
+    def _distinct_buckets(df: DataFrame, bucket_col: Column) -> list[int]:
+        """Tiny driver collect: ≤ B ints."""
+        return sorted(
+            r["b"] for r in df.select(bucket_col.alias("b")).distinct().collect()
+        )
+
+    @staticmethod
+    def _staged_bytes(staging: str) -> int:
+        import os
+
+        total = 0
+        for root, _dirs, files in os.walk(staging):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    # -- write path ------------------------------------------------------
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        content_col: str = "text",
+        id_col: str = "doc_id",
+        deleted_ids: DataFrame | None = None,
+        threshold: float = 0.5,
+        compute_pairs: bool = True,
+    ) -> tuple[dict, DataFrame | None]:
+        """One index micro-batch: upsert ``docs``' signatures, drop
+        ``deleted_ids``, and (optionally) return the near-dup pairs that
+        become detectable with this batch (pairs touching ≥1 new doc).
+
+        Returns ``(metrics, pairs_df_or_None)``. Signatures are computed
+        ONCE for the batch and shared by the sig staging, the posting
+        staging and the pair probe. Idempotent: re-running after a crash
+        converges to the same stores and the same pairs (LWW-free —
+        rewrite semantics make the anti-join+union a fixed point).
+        """
+        import json
         import os
         import shutil
 
-        new_sigs = self._sigs_of(docs, content_col, id_col)
-        if self.exists():
-            merged = (
-                self.signatures()
-                .join(new_sigs.select("id"), "id", "left_anti")
-                .unionByName(new_sigs)
+        new_sigs = _cache_bounded(
+            "minhash_index_new_sigs", self._sigs_of(docs, content_col, id_col)
+        )
+        changed = new_sigs.select("id")
+        if deleted_ids is not None:
+            dcol = deleted_ids.columns[0]
+            changed = changed.unionByName(
+                deleted_ids.select(F.col(dcol).alias("id"))
+            ).distinct()
+
+        # ---- stage the signature store (id-bucket pruned) --------------
+        sig_bucket = self._sig_bucket()
+        touched_sig = self._distinct_buckets(changed, sig_bucket)
+        new_with_bucket = new_sigs.withColumn("bucket", sig_bucket)
+        if self.sig_store.exists():
+            cur = self.sig_store.read_buckets(touched_sig)
+            old_changed = cur.join(changed, "id", "leftsemi").select("id", "sig")
+            merged_sig = cur.join(changed, "id", "left_anti").unionByName(
+                new_with_bucket
             )
         else:
-            merged = new_sigs
-        staging = f"{self.path}.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        n = self.spark.read.parquet(staging).count()
-        old = f"{self.path}.old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(self.path):
-            os.replace(self.path, old)
-        os.replace(staging, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-        return int(n)
+            old_changed = new_sigs.limit(0)
+            merged_sig = new_with_bucket
+        sig_staging = f"{self.sig_store.path}.staging"
+        staged_sig = self.sig_store.stage_write(merged_sig, sig_staging)
+        if set(staged_sig) - set(touched_sig):
+            shutil.rmtree(sig_staging, ignore_errors=True)
+            raise RuntimeError(
+                f"sig staging produced buckets {sorted(set(staged_sig) - set(touched_sig))} "
+                f"outside the changed-id bucket set {touched_sig}"
+            )
 
-    def _banded(self, sigs: DataFrame) -> DataFrame:
-        return band_explode(sigs, self.num_hashes, self.bands, self.hash_family)
+        # ---- stage the posting store ((band,bkey)-bucket pruned) -------
+        # Old band keys come from the CURRENT stored signatures of the
+        # changed ids (read above, pre-swap), so every stale posting row
+        # of an updated/deleted doc is inside the touched partition set
+        # and gets anti-joined away — no tombstones, no staleness.
+        post_bucket = self._post_bucket()
+        old_banded = self._banded(old_changed)
+        new_banded = self._banded(new_sigs)
+        touched_post = self._distinct_buckets(
+            old_banded.select("band", "bkey").unionByName(
+                new_banded.select("band", "bkey")
+            ),
+            post_bucket,
+        )
+        new_post = new_banded.withColumn("bucket", post_bucket)
+        if self.post_store.exists():
+            cur_post = self.post_store.read_buckets(touched_post)
+            merged_post = cur_post.join(changed, "id", "left_anti").unionByName(
+                new_post
+            )
+        else:
+            merged_post = new_post
+        post_staging = f"{self.post_store.path}.staging"
+        staged_post = self.post_store.stage_write(merged_post, post_staging)
+        if set(staged_post) - set(touched_post):
+            shutil.rmtree(sig_staging, ignore_errors=True)
+            shutil.rmtree(post_staging, ignore_errors=True)
+            raise RuntimeError(
+                f"posting staging produced buckets "
+                f"{sorted(set(staged_post) - set(touched_post))} outside "
+                f"the touched set {touched_post}"
+            )
 
-    def incremental_pairs(
+        metrics = {
+            "sig_touched_buckets": len(touched_sig),
+            "post_touched_buckets": len(touched_post),
+            "buckets": self.buckets,
+            "sig_bytes_written": self._staged_bytes(sig_staging),
+            "post_bytes_written": self._staged_bytes(post_staging),
+        }
+
+        # ---- journal, then swap both stores ----------------------------
+        journal = {
+            "stores": [
+                {
+                    "store": "sig",
+                    "staging": sig_staging,
+                    "touched": touched_sig,
+                    "staged": staged_sig,
+                },
+                {
+                    "store": "post",
+                    "staging": post_staging,
+                    "touched": touched_post,
+                    "staged": staged_post,
+                },
+            ]
+        }
+        jp = self._journal_path()
+        tmp = jp + ".part"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(journal, f)
+        os.replace(tmp, jp)
+        self.sig_store.swap_buckets(sig_staging, touched_sig)
+        self.post_store.swap_buckets(post_staging, touched_post)
+        os.remove(jp)
+        shutil.rmtree(sig_staging, ignore_errors=True)
+        shutil.rmtree(post_staging, ignore_errors=True)
+
+        pairs = None
+        if compute_pairs:
+            pairs = self._pairs_for(new_banded, threshold)
+        return metrics, pairs
+
+    def update(
         self,
-        new_docs: DataFrame,
+        docs: DataFrame,
         content_col: str = "text",
         id_col: str = "doc_id",
-        threshold: float = 0.5,
-    ) -> DataFrame:
-        """Candidate near-dup pairs touching at least one NEW document:
-        band join of the new side against the full index (which must
-        already include the new docs via ``update``). Old×old pairs are
-        never rebuilt; new×new pairs come out once (id_a < id_b)."""
-        new_banded = self._banded(self._sigs_of(new_docs, content_col, id_col))
-        all_banded = self._banded(self.signatures())
+        deleted_ids: DataFrame | None = None,
+    ) -> dict:
+        """Upsert the batch's signatures (and apply deletes); returns
+        the per-batch I/O metrics — deliberately NOT a full-index count,
+        which would be an O(corpus) job per micro-batch."""
+        metrics, _ = self.ingest(
+            docs, content_col, id_col, deleted_ids, compute_pairs=False
+        )
+        return metrics
+
+    # -- read path -------------------------------------------------------
+
+    def _pairs_for(self, new_banded: DataFrame, threshold: float) -> DataFrame:
+        """Band-bucket join of the new side against ONLY the posting
+        partitions its keys hash to (partition-pruned index lookup)."""
+        touched = self._distinct_buckets(
+            new_banded.select("band", "bkey"), self._post_bucket()
+        )
+        index_side = self.post_store.read_buckets(touched)
         cand = (
             new_banded.alias("a")
-            .join(all_banded.alias("b"), ["band", "bucket"])
+            .join(index_side.alias("b"), ["band", "bkey"])
             .filter(F.col("a.id") != F.col("b.id"))
             .select(
                 F.least("a.id", "b.id").alias("id_a"),
@@ -610,6 +834,21 @@ class MinhashIndex:
         return est.filter(F.col("est_jaccard") >= threshold).select(
             "id_a", "id_b", "est_jaccard"
         )
+
+    def incremental_pairs(
+        self,
+        new_docs: DataFrame,
+        content_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Candidate near-dup pairs touching at least one NEW document:
+        pruned band join of the new side against the posting store
+        (which must already include the new docs via ``update``/
+        ``ingest``). Old×old pairs are never rebuilt; new×new pairs come
+        out once (id_a < id_b)."""
+        new_banded = self._banded(self._sigs_of(new_docs, content_col, id_col))
+        return self._pairs_for(new_banded, threshold)
 
 
 def simhash_table(
@@ -671,6 +910,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     blocks: int = 4,
     hash_family: str = "xxhash64",
+    cache: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with banding on 16-bit (15-bit for md5)
     blocks.
@@ -682,6 +922,7 @@ def simhash_near_dups(
     sh = _cache_bounded(
         "simhash_sketch",
         simhash_table(df, content_col, id_col, hash_family=hash_family),
+        cache,
     )
     width = simhash_bits(hash_family) // blocks
     mask = (1 << width) - 1

@@ -23,6 +23,11 @@ plan is the scalable parquet fallback:
 Write amplification is bounded by touched-buckets/B of the table, not
 the whole table. At 100 TB you raise B so a bucket ≈ a few GB; the
 algorithm is unchanged.
+
+The layout/swap/recovery machinery is factored into
+:class:`BucketedParquetStore` so other engine stores (the incremental
+MinHash index's signature and posting stores, operators/dedup.py) ride
+the exact same crash-safety protocol instead of reinventing it.
 """
 
 from __future__ import annotations
@@ -38,24 +43,20 @@ from ..schema import CODE_KEY, OP_DELETE, OP_UPSERT
 from .dedup import last_writer_wins_agg
 
 
-def key_bucket(keys: list[str], buckets: int) -> Column:
-    """Deterministic key → bucket assignment."""
-    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)).cast("int")
+from .store import (  # noqa: F401  (re-exported for compatibility)
+    BucketedParquetStore,
+    key_bucket,
+    path_health,
+)
 
 
-class StateTable:
+class StateTable(BucketedParquetStore):
     """A bucket-partitioned parquet table with MERGE apply.
 
     Layout: ``{path}/bucket=<i>/part-*.parquet``. Schema = user columns
     + ``lsn`` (last applied per key) + ``content_sha256`` (the per-row
     invariant) + partition column ``bucket``.
     """
-
-    #: layout marker colocated with the data ("_"-prefixed → invisible
-    #: to Spark's parquet reader, like _SUCCESS). The physical layout is
-    #: the ground truth for the bucket count — a manifest can go stale
-    #: across a crash between a rebucket swap and its manifest commit.
-    META_FILE = "_table_meta.json"
 
     def __init__(
         self,
@@ -65,95 +66,12 @@ class StateTable:
         buckets: int = 32,
         content_col: str = "content",
     ) -> None:
-        self.spark = spark
-        self.path = path
         self.keys = keys or CODE_KEY
-        self.buckets = buckets
         self.content_col = content_col
-        self._recover()
-        marker = self.layout_buckets(path)
-        if marker is not None and marker != self.buckets:
-            raise ValueError(
-                f"state table at {path} is laid out with buckets={marker} "
-                f"(layout marker) but buckets={self.buckets} was requested; "
-                "construct with the marker value or run rebucket"
-            )
+        super().__init__(spark, path, buckets)
 
-    # -- crash recovery / layout marker ---------------------------------
-
-    @classmethod
-    def layout_buckets(cls, path: str) -> int | None:
-        """Bucket count recorded in the table's layout marker (None for
-        a missing table or one predating the marker)."""
-        meta = os.path.join(path, cls.META_FILE)
-        if not os.path.exists(meta):
-            return None
-        with open(meta, encoding="utf-8") as f:
-            return int(json.load(f)["buckets"])
-
-    def _write_meta(self) -> None:
-        meta = os.path.join(self.path, self.META_FILE)
-        tmp = meta + ".part"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"buckets": self.buckets, "keys": self.keys}, f)
-        os.replace(tmp, meta)
-
-    def _recover(self) -> None:
-        """Undo a crashed swap. Invariants of the swap protocols below:
-        a ``*.old`` directory exists ONLY before the corresponding
-        manifest commit, so restoring it and letting the batch/rebucket
-        re-apply is always correct (LWW idempotence)."""
-        whole_old = f"{self.path}.old"
-        if not os.path.isdir(self.path) and os.path.isdir(whole_old):
-            # rebucket crashed between its two renames → restore the
-            # intact pre-rebucket table (staging is discarded on rerun)
-            os.replace(whole_old, self.path)
-        if os.path.isdir(self.path):
-            for d in os.listdir(self.path):
-                if d.startswith("bucket=") and d.endswith(".old"):
-                    src = os.path.join(self.path, d)
-                    dst = os.path.join(self.path, d[: -len(".old")])
-                    if os.path.isdir(dst):
-                        shutil.rmtree(src)  # swap completed; stale trash
-                    else:
-                        os.replace(src, dst)  # swap crashed mid-bucket
-        shutil.rmtree(whole_old, ignore_errors=True)
-
-    def _swap_in(self, src: str, dst: str) -> None:
-        """Replace ``dst`` with ``src`` without a window where neither
-        exists: dst is renamed aside first (never rmtree'd before the
-        replacement lands) and the trash only deleted last. ``src``
-        absent = the bucket emptied out (every key deleted)."""
-        trash = f"{dst}.old"
-        if os.path.isdir(trash):
-            shutil.rmtree(trash)
-        if os.path.isdir(dst):
-            os.replace(dst, trash)
-        if os.path.isdir(src):
-            os.replace(src, dst)
-        shutil.rmtree(trash, ignore_errors=True)
-
-    # -- read ----------------------------------------------------------
-
-    def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            e.startswith("bucket=") for e in os.listdir(self.path)
-        )
-
-    def read(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.path).parquet(self.path)
-
-    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
-        """Partition-pruned scan of only the touched buckets (reads just
-        those directories — no full-table I/O)."""
-        paths = [
-            f"{self.path}/bucket={b}"
-            for b in bucket_ids
-            if os.path.isdir(f"{self.path}/bucket={b}")
-        ]
-        if not paths:
-            return self.read().limit(0)
-        return self.spark.read.option("basePath", self.path).parquet(*paths)
+    def _meta_payload(self) -> dict:
+        return {"buckets": self.buckets, "keys": self.keys}
 
     # -- write ---------------------------------------------------------
 
@@ -284,12 +202,13 @@ class StateTable:
         # write.distribution-mode=hash analog): without it every write
         # task emits a file per bucket it holds — tasks × buckets tiny
         # files per batch; with it, one task and one file per bucket.
+        # |touched| partitions, not B: a 2-bucket batch must not schedule
+        # B−2 empty write tasks (two buckets hashing to one partition
+        # still come out as one file each — partitionBy splits them).
         staging = f"{self.path}.staging"
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
-        final.repartition(self.buckets, "bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(staging)
+        staged = self.stage_write(
+            final.repartition(len(touched), "bucket"), staging
+        )
 
         # Fail-loud invariant: every bucket dir the write produced must be
         # in `touched`. A violation means the bucket probe and merge() saw
@@ -297,11 +216,6 @@ class StateTable:
         # swapping would silently lose the unexpected buckets' rows AND
         # the state scan above missed those buckets. Raising here, before
         # any swap, leaves the state table untouched.
-        staged = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(staging)
-            if d.startswith("bucket=")
-        ]
         unexpected = sorted(set(staged) - set(touched))
         if unexpected:
             shutil.rmtree(staging, ignore_errors=True)
@@ -312,15 +226,8 @@ class StateTable:
                 "the merged batch (state table left unchanged)"
             )
 
-        os.makedirs(self.path, exist_ok=True)
-        for b in touched:
-            # rename-aside swap: at no instant is the bucket's data
-            # absent from BOTH {dst} and {dst}.old, so a crash anywhere
-            # here is recovered by _recover() + the batch re-applying
-            # (manifest not yet committed → LWW no-op).
-            self._swap_in(f"{staging}/bucket={b}", f"{self.path}/bucket={b}")
+        self.swap_buckets(staging, touched)
         shutil.rmtree(staging, ignore_errors=True)
-        self._write_meta()
 
         counts = None
         if obs is not None:
@@ -385,22 +292,30 @@ class StateTable:
             .parquet(staging)
         )
         rows = self.spark.read.parquet(staging).count()
+        # The new-layout marker is written INTO staging so it rides the
+        # atomic rename below: a crash between the two os.replace calls
+        # must never leave a new-layout table without its marker (the
+        # post-swap _write_meta alone opened exactly that window — a
+        # marker-less new-layout table would resolve B from the stale
+        # manifest and a later merge would mix hash moduli, letting
+        # stale versions escape LWW).
+        self._write_meta(into=staging, buckets=new_buckets)
         # Whole-table rename-aside swap. Crash between the two renames
         # leaves the intact pre-rebucket table in {path}.old, which
         # _recover() restores on the next construction — the rebucket is
         # then simply re-run. Crash after the swap but before the
         # caller's manifest commit is detected by the layout marker
-        # (written with the new B below): the marker, not the manifest,
-        # is the layout's ground truth, and a later merge under the
-        # stale manifest B fails loudly at construction instead of
-        # silently mis-pruning buckets.
+        # (already inside the swapped dir): the marker, not the
+        # manifest, is the layout's ground truth, and a later merge
+        # under the stale manifest B fails loudly at construction
+        # instead of silently mis-pruning buckets.
         old = f"{self.path}.old"
         if os.path.isdir(old):
             shutil.rmtree(old)
         os.replace(self.path, old)
         os.replace(staging, self.path)
         self.buckets = new_buckets
-        self._write_meta()
+        self._write_meta()  # refresh (same content as the staged marker)
         shutil.rmtree(old, ignore_errors=True)
         return {
             "rebucket_from": old_buckets,
@@ -410,87 +325,17 @@ class StateTable:
         }
 
     def compact(self, target_files_per_bucket: int = 1) -> dict:
-        """Per-bucket small-file compaction (OPTIMIZE file-size health):
-        rewrite each bucket down to ≤ ``target_files_per_bucket`` files.
-        Uses its OWN staging dir (merge() wipes ``.staging`` on entry —
-        sharing it would turn a crashed compaction into data loss at the
-        next merge) and the same rename-aside bucket swap as merge, so a
-        crash at any point leaves every bucket recoverable."""
-        if not self.exists():
-            return {"compacted_buckets": 0, "buckets": self.buckets}
-        bucket_ids = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.path)
-            if d.startswith("bucket=") and not d.endswith(".old")
-        )
-        staging = f"{self.path}.compacting"
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
-        df = self.read_buckets(bucket_ids)
+        """Per-bucket small-file compaction — see the base class. The
+        >1-files split hash must be seeded INDEPENDENTLY of key_bucket:
+        xxhash64(keys) % files is fully determined by xxhash64(keys) %
+        buckets whenever files divides buckets."""
+        split = None
         if target_files_per_bucket > 1:
-            # a second partition key is required for >1 file per bucket:
-            # repartitioning on the bucket value alone maps each bucket
-            # to exactly one partition (and thus one output file). The
-            # split hash must be seeded INDEPENDENTLY of key_bucket —
-            # xxhash64(keys) % files is fully determined by
-            # xxhash64(keys) % buckets whenever files divides buckets.
             split = F.pmod(
                 F.xxhash64(*[F.col(k) for k in self.keys], F.lit(0x5EED)),
                 F.lit(target_files_per_bucket),
             )
-            df = df.repartition(
-                len(bucket_ids) * target_files_per_bucket, F.col("bucket"), split
-            )
-        else:
-            df = df.repartition(len(bucket_ids), "bucket")
-        df.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        for b in bucket_ids:
-            src = f"{staging}/bucket={b}"
-            if os.path.isdir(src):
-                self._swap_in(src, f"{self.path}/bucket={b}")
-        shutil.rmtree(staging, ignore_errors=True)
-        return {"compacted_buckets": len(bucket_ids), "buckets": self.buckets}
-
-    def health(self) -> dict:
-        """File-size health report (the observability half of OPTIMIZE —
-        reference analog: the index pass deciding what to build,
-        db/sqlite_builder.py:127-168): per-bucket file counts and bytes,
-        plus aggregate skew indicators, from pure filesystem metadata
-        (no Spark job). Feeds the compact/rebucket decision: many small
-        files per bucket → compact; max/median bucket bytes ≫ 1 →
-        key-space skew; bucket bytes near the executor-memory budget →
-        rebucket to a larger B."""
-        if not self.exists():
-            return {"buckets": 0, "files": 0, "bytes": 0, "per_bucket": {}}
-        per_bucket: dict[int, dict] = {}
-        for d in sorted(os.listdir(self.path)):
-            if not d.startswith("bucket=") or d.endswith(".old"):
-                continue
-            b = int(d.split("=", 1)[1])
-            files = [
-                e
-                for e in os.listdir(os.path.join(self.path, d))
-                if e.endswith(".parquet")
-            ]
-            nbytes = sum(
-                os.path.getsize(os.path.join(self.path, d, e)) for e in files
-            )
-            per_bucket[b] = {"files": len(files), "bytes": nbytes}
-        sizes = sorted(v["bytes"] for v in per_bucket.values())
-        total = sum(sizes)
-        median = sizes[len(sizes) // 2] if sizes else 0
-        return {
-            "buckets": len(per_bucket),
-            "files": sum(v["files"] for v in per_bucket.values()),
-            "bytes": total,
-            "max_bucket_bytes": sizes[-1] if sizes else 0,
-            "median_bucket_bytes": median,
-            "skew_ratio": round(sizes[-1] / median, 2) if median else 0.0,
-            "max_files_per_bucket": max(
-                (v["files"] for v in per_bucket.values()), default=0
-            ),
-            "per_bucket": per_bucket,
-        }
+        return super().compact(target_files_per_bucket, split_col=split)
 
     # -- audits (reference S10/S12 analogs) -----------------------------
 

@@ -625,6 +625,34 @@ def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index, end to end: bulk-load the corpus
+    minus a 20% "new batch" slice (doc_id % 10 ∈ {0,1}) into the
+    bucket-partitioned index, then ingest the batch and return the
+    near-dup pairs that become detectable with it (old×new and
+    new×new — old×old pairs are never regenerated, and the posting scan
+    is pruned to the batch's (band, bucket) partitions).
+
+    Value-checked: with the md5-affine family the result must equal the
+    full LSH recompute restricted to pairs touching the batch — which is
+    exactly what the DuckDB oracle computes, so the incremental storage
+    layout is proven equivalent to the from-scratch pipeline."""
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 >= 2)
+    new = docs.filter(F.col("doc_id") % 10 < 2)
+    path = tempfile.mkdtemp(prefix="mh_inc_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = D.MinhashIndex(
+        spark, path, k=3, num_hashes=16, bands=4, hash_family="md5", buckets=32
+    )
+    idx.update(old, "text", "doc_id")
+    _, pairs = idx.ingest(new, "text", "doc_id", threshold=0.5)
+    return pairs
+
+
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3), value-checked via the
     md5-base 60-bit sketch (15-bit pigeonhole blocks) that DuckDB can
