@@ -565,7 +565,42 @@ class MinhashIndex:
         self.post_store = BucketedParquetStore(
             spark, os.path.join(path, "post"), buckets
         )
+        self._check_params_marker()
         self._recover_journal()
+
+    PARAMS_FILE = "_index_meta.json"
+
+    def _check_params_marker(self) -> None:
+        """Signatures are only comparable under identical hash
+        parameters: reopening an index with different (k, num_hashes,
+        bands, hash_family) would silently join fresh signatures against
+        incompatible stored ones — fail loudly instead (same ground-
+        truth-marker pattern as the stores' bucket count)."""
+        import json
+        import os
+
+        params = {
+            "k": self.k,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "hash_family": self.hash_family,
+        }
+        marker = os.path.join(self.path, self.PARAMS_FILE)
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                stored = json.load(f)
+            if stored != params:
+                raise ValueError(
+                    f"MinhashIndex at {self.path} was built with {stored} "
+                    f"but reopened with {params}; delete the index to "
+                    "change hash parameters (stored signatures are not "
+                    "comparable across parameter sets)"
+                )
+        else:
+            tmp = marker + ".part"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(params, f)
+            os.replace(tmp, marker)
 
     # -- crash recovery --------------------------------------------------
 

@@ -57,11 +57,19 @@ def hot_keys(
 ) -> DataFrame:
     """Keys holding more than ``threshold_fraction`` of all rows.
 
-    Single aggregation + scalar subquery-free total via a cross-joined
-    broadcast count (one extra tiny stage)."""
-    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
-    total = df.count()
-    return counts.filter(F.col("n") >= F.lit(threshold_fraction) * F.lit(total))
+    ONE scan of the input: the total is re-aggregated from the per-key
+    counts and broadcast-joined back, and because both branches share
+    the identical groupBy subplan Spark reuses the exchange
+    (``ReusedExchange``) instead of scanning the input twice — the
+    round-2 version ran a separate ``df.count()`` action, a second full
+    pass for a diagnostic helper."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.lit(threshold_fraction) * F.col("__total"))
+        .drop("__total")
+    )
 
 
 def partition_histogram(df: DataFrame) -> DataFrame:

@@ -9,6 +9,28 @@ rename-aside atomic swaps with crash recovery (the reference's
 ``.part`` + ``os.replace`` pattern, ``cnpj_downloader.py:67,116,169``,
 applied to partitions), partition-pruned reads, staged writes,
 small-file compaction and a metadata-only health report.
+
+**Object-store translation (the 100×-cluster commit protocol).** The
+swap protocol needs exactly three filesystem primitives: atomic rename
+of a path (``os.replace``), recursive delete, and listing. On HDFS the
+mapping is direct (``fs.rename`` is atomic, directories are real). On
+S3-class object stores "directories" are key prefixes and rename is
+copy+delete (non-atomic), so the SAME protocol is expressed one level
+up, exactly as Iceberg/Delta do it: data files are immutable and
+written once under unique names (our staging writes already are), and
+the ``bucket=<i>`` directory indirection becomes a per-bucket pointer
+in a small metadata file committed with ONE atomic operation —
+``_table_meta.json`` here, which is already the layout's ground truth
+and is written via put-if-absent/rename (S3 now supports conditional
+PUT; any catalog/DynamoDB lock works identically). The recovery
+invariants carry over unchanged because they only ever reason about
+"pointer committed" vs "pointer not committed": a crash before the
+metadata commit leaves the old pointer (old files still present,
+staging garbage collected later), after it the new one. Nothing in the
+engine assumes directory rename beyond this module, so porting =
+swapping ``_swap_in``/``_write_meta`` for pointer updates; the
+per-bucket manifest lineage (plans/checkpoint.py) is the same pattern
+at batch granularity.
 """
 
 from __future__ import annotations

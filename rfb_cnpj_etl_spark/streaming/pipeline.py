@@ -37,6 +37,7 @@ class StreamingCdcPipeline:
         buckets: int | None = None,
         max_files_per_trigger: int = 8,
         schema=None,
+        minhash_index=None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -62,6 +63,11 @@ class StreamingCdcPipeline:
         )
         self.state = self.engine.state
         self.manifest = self.engine.manifest
+        # dedup-as-part-of-ingest applies to the streaming path too:
+        # each epoch folds its winners into the index and its manifest
+        # entry carries the newly-detectable near-dup pairs (idempotent
+        # across foreachBatch redelivery, same argument as batch).
+        self.minhash_index = minhash_index
 
     # ------------------------------------------------------------------
 
@@ -75,7 +81,11 @@ class StreamingCdcPipeline:
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
         self.engine.apply_batch(
-            batch, batch_id, int(bounds["lo"]), int(bounds["hi"])
+            batch,
+            batch_id,
+            int(bounds["lo"]),
+            int(bounds["hi"]),
+            minhash_index=self.minhash_index,
         )
 
     def start(self, available_now: bool = True):

@@ -235,3 +235,14 @@ class TestCrashRecovery:
         batch = _docs(spark, [(600, "fresh words here")])
         idx.update(batch)
         assert idx.signatures().filter("id = 600").count() == 1
+
+
+class TestParamsMarker:
+    def test_reopen_with_different_params_fails_loudly(self, spark, tmp_path):
+        idx = MinhashIndex(spark, str(tmp_path / "idx"), buckets=16, **PARAMS)
+        idx.update(_docs(spark, _corpus_rows(5)))
+        # same params → fine
+        MinhashIndex(spark, str(tmp_path / "idx"), buckets=16, **PARAMS)
+        bad = dict(PARAMS, num_hashes=32, bands=8)
+        with pytest.raises(ValueError, match="not comparable"):
+            MinhashIndex(spark, str(tmp_path / "idx"), buckets=16, **bad)

@@ -178,10 +178,14 @@ class TestSwapCrashRecovery:
         log = synthesize_changelog(spark, 400, n_repos=4, n_paths=20).cache()
         eng = CdcEngine(spark, state, man, buckets=4)
         eng.replay(log, batch_size=400)
-        manifest_before = open(man).read()
+        segs_before = set(eng.manifest._segment_files())
         eng.rebucket(16)
-        with open(man, "w") as f:  # "lose" the rebucket's manifest commit
-            f.write(manifest_before)
+        # "lose" the rebucket's manifest commit: with the segmented
+        # manifest a crashed commit = its segment file never landed
+        import os
+
+        for name in set(eng.manifest._segment_files()) - segs_before:
+            os.remove(os.path.join(eng.manifest.segs_dir, name))
         eng2 = CdcEngine(spark, state, man)  # marker wins over manifest
         assert eng2.state.buckets == 16
         assert eng2.verify_against(expected_final_state(log))["ok"]

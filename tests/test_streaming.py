@@ -190,3 +190,51 @@ class TestStreamingSchemaEvolution:
         assert fs.filter("lsn < 300 AND branch IS NOT NULL").count() == 0
         assert fs.filter("lsn >= 300 AND branch IS NULL").count() == 0
         assert p2.engine.verify_against(expected_final_state(log))["ok"]
+
+
+class TestStreamingWithIndex:
+    def test_stream_maintains_minhash_index(self, spark, tmp_path):
+        """Dedup-as-part-of-ingest on the streaming path: each epoch
+        folds its winners into the index; after draining, the index
+        covers exactly the live keys and the planted near-dup pair is
+        reported in some epoch's manifest entry."""
+        from rfb_cnpj_etl_spark.operators.dedup import MinhashIndex
+
+        base = "the quick brown fox jumps over the lazy dog tonight again"
+        rows = [
+            ("r1", "a", base, 1, "upsert"),
+            ("r1", "b", "unrelated words about adaptive query execution", 2, "upsert"),
+            ("r2", "c", base + " truly", 11, "upsert"),
+            ("r1", "b", "unrelated words about adaptive query execution", 12, "delete"),
+        ]
+        log = spark.createDataFrame(
+            [(r, p, f"c{l}", "python", c, l, o) for (r, p, c, l, o) in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, lsn long, op string",
+        )
+        src = str(tmp_path / "log")
+        write_log_files(spark, log, src, n_files=2)
+
+        idx = MinhashIndex(
+            spark, str(tmp_path / "mh"), k=2, num_hashes=16, bands=4, buckets=16
+        )
+        pipe = StreamingCdcPipeline(
+            spark,
+            src,
+            str(tmp_path / "state"),
+            str(tmp_path / "manifest.jsonl"),
+            str(tmp_path / "ckpt"),
+            buckets=8,
+            max_files_per_trigger=1,
+            minhash_index=idx,
+        )
+        pipe.run_until_drained()
+
+        live = {(r["repo"], r["path"]) for r in pipe.state.read().collect()}
+        assert live == {("r1", "a"), ("r2", "c")}
+        sig_ids = {r["id"] for r in idx.signatures().collect()}
+        assert sig_ids == {"r1\x1fa", "r2\x1fc"}
+        total_pairs = sum(
+            e.get("near_dup_pairs", 0) for e in pipe.manifest.entries()
+        )
+        assert total_pairs >= 1
