@@ -29,6 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Replay work areas (state table, staging, manifest, generated log) go
+# on tmpfs when available — the same methodology bench_scaling.py has
+# used since round 1 (BASELINE.md): this sandbox has ONE ~350 MB/s disk
+# behind all 32 threads, so disk-backed replay measures the host disk's
+# weather as much as the engine, while a real cluster adds local disks
+# with every executor. The JSON output labels the area used; rounds 1-2
+# ran these replays on the disk-backed default tempdir.
+WORK_AREA = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _work_dir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=WORK_AREA)
+
 HEADLINE = [
     "cdc_final_state",
     "cdc_repo_stats",
@@ -95,7 +108,7 @@ def time_replay(spark, sf_dir: str) -> dict:
     from rfb_cnpj_etl_spark.engine import CdcEngine
     from rfb_cnpj_etl_spark.sources.changelog import changelog_from_events
 
-    tmp = tempfile.mkdtemp(prefix="bench_state_")
+    tmp = _work_dir("bench_state_")
     try:
         log = changelog_from_events(spark, sf_dir)
         n_events = log.count()  # not timed: the driver knows its input size
@@ -121,7 +134,7 @@ def time_bulk_replay(spark, n_events: int = 2_000_000) -> dict:
     from rfb_cnpj_etl_spark.engine import CdcEngine
     from rfb_cnpj_etl_spark.gen import synthesize_changelog
 
-    tmp = tempfile.mkdtemp(prefix="bench_bulk_")
+    tmp = _work_dir("bench_bulk_")
     try:
         synthesize_changelog(
             spark, n_events, n_repos=200, n_paths=5000,
@@ -211,6 +224,7 @@ def main() -> None:
                 "cdc_events_per_sec": replay["events_per_sec"],
                 "cdc_bulk_events": bulk["events"],
                 "cdc_bulk_events_per_sec": bulk["events_per_sec"],
+                "replay_work_area": "tmpfs" if WORK_AREA else "disk",
             }
         )
     )

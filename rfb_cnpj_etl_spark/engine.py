@@ -121,6 +121,11 @@ class CdcEngine:
         self.normalize = normalize
         self.registry = registry or SchemaRegistry(CHANGELOG_SCHEMA)
 
+    #: (window, bucket) probe rows the driver will hold at once before
+    #: switching to the streamed per-partition fetch (65536 rows of 4
+    #: longs ≈ a few MB with Row overhead).
+    PROBE_COLLECT_MAX = 65536
+
     # ------------------------------------------------------------------
 
     def apply_batch(
@@ -259,19 +264,39 @@ class CdcEngine:
         probe = pending if self.normalize is None else self.normalize(pending)
         bucket_col = key_bucket(self.state.keys, self.state.buckets)
         win = F.floor(F.col(lsn_col) / F.lit(batch_size)).cast("long")
-        # Globally ordered via range partitioning into FEW partitions:
-        # toLocalIterator launches one fetch job per partition, so
-        # leaving the agg at spark.sql.shuffle.partitions would add that
-        # many scheduling round-trips per replay for a table that is
-        # tiny relative to the data (≤ windows × buckets rows); 8
-        # partitions keeps the per-fetch driver footprint bounded at
-        # scale while costing at most 8 fetches.
-        pairs = (
-            probe.groupBy(win.alias("__w"), bucket_col.alias("__b"))
-            .agg(F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo"))
-            .repartitionByRange(8, F.col("__w"), F.col("__b"))
-            .sortWithinPartitions("__w", "__b")
+        pairs_agg = probe.groupBy(win.alias("__w"), bucket_col.alias("__b")).agg(
+            F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo")
         )
+        # Hybrid fetch. The streamed path (range-repartition + sort +
+        # one fetch job per partition) bounds driver memory when the
+        # window table is huge, but costs ~0.8 s of fixed scheduling per
+        # REPLAY — measured by in-JVM A/B (BASELINE.md round 3): probe
+        # agg + plain collect 0.46 s vs + streamed fetch 1.24 s, with
+        # the r2 normalization itself only ~0.05 s (Catalyst prunes it
+        # to key+lsn columns). A single-batch production replay was
+        # paying 16% for a bound it didn't need. So: try a bounded
+        # collect first (limit k+1 proves the table is small — ≤ k rows
+        # of 4 ints is a few MB of driver memory); fall back to the
+        # streamed path only when the bound is exceeded, re-running the
+        # tiny agg (one extra pass over ≤ windows × buckets rows, noise
+        # at the scale where the fallback triggers).
+        head = pairs_agg.limit(self.PROBE_COLLECT_MAX + 1).collect()
+        if len(head) <= self.PROBE_COLLECT_MAX:
+            row_iter = iter(sorted(head, key=lambda r: (r["__w"], r["__b"])))
+        else:
+            # Globally ordered via range partitioning into FEW
+            # partitions: toLocalIterator launches one fetch job per
+            # partition, so leaving the agg at
+            # spark.sql.shuffle.partitions would add that many
+            # scheduling round-trips for a table that is tiny relative
+            # to the data; 8 partitions keeps the per-fetch driver
+            # footprint bounded at scale while costing at most 8
+            # fetches.
+            row_iter = (
+                pairs_agg.repartitionByRange(8, F.col("__w"), F.col("__b"))
+                .sortWithinPartitions("__w", "__b")
+                .toLocalIterator()
+            )
 
         entries = []
 
@@ -294,15 +319,15 @@ class CdcEngine:
                 )
             )
 
-        # toLocalIterator streams the sorted (window, bucket) rows one
-        # shuffle partition at a time — driver memory is bounded by a
-        # partition of 4-int rows, not by windows × buckets — and each
-        # window's batch is applied as soon as its rows are exhausted
-        # (the sort guarantees a window's rows are contiguous).
+        # The iterator yields (window, bucket) rows in global (__w, __b)
+        # order — from the bounded driver-side sort, or streamed one
+        # shuffle partition at a time — and each window's batch is
+        # applied as soon as its rows are exhausted (the order
+        # guarantees a window's rows are contiguous).
         cur_w: int | None = None
         cur_buckets: list[int] = []
         cur_lo = cur_hi = 0
-        for r in pairs.toLocalIterator():
+        for r in row_iter:
             w = int(r["__w"])
             if cur_w is not None and w != cur_w:
                 flush(cur_w, cur_buckets, cur_lo, cur_hi)

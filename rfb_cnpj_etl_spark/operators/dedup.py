@@ -710,9 +710,20 @@ class MinhashIndex:
         import os
         import shutil
 
-        new_sigs = _cache_bounded(
-            "minhash_index_new_sigs", self._sigs_of(docs, content_col, id_col)
-        )
+        # Materialize the batch signatures ONCE (tiny parquet: ~128 B
+        # per doc). Five downstream actions (two touched-bucket
+        # collects, two staging writes, the pair probe) then plan
+        # against a trivial scan instead of each re-deriving — and
+        # re-planning/codegen'ing — the wide shingle-explode +
+        # num_hashes-min-lane aggregation subtree; measured at sf0.1
+        # that re-planning dominated the whole ingest (~2× end-to-end).
+        # Deterministic from the batch → recomputed identically on a
+        # crash-replay (idempotence unchanged).
+        snap = os.path.join(self.path, "_batch_sigs")
+        self._sigs_of(docs, content_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(snap)
+        new_sigs = self.spark.read.parquet(snap)
         changed = new_sigs.select("id")
         if deleted_ids is not None:
             dcol = deleted_ids.columns[0]

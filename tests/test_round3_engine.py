@@ -329,3 +329,26 @@ class TestRebucketMarkerCrashWindow:
         )
         assert eng2.final_state().count() == 11
         assert eng2.state.audit_key_uniqueness() == 0
+
+
+class TestProbeHybridFetch:
+    def test_streamed_fallback_matches_collect_path(self, spark, tmp_path):
+        """Force the window-probe past its driver-collect bound: the
+        streamed per-partition fetch must produce the same batches and
+        final state as the bounded-collect fast path."""
+        from rfb_cnpj_etl_spark.gen import (
+            expected_final_state,
+            synthesize_changelog,
+        )
+
+        log = synthesize_changelog(spark, 2000, n_repos=5, n_paths=30).cache()
+        a = _engine(spark, tmp_path, "collect")
+        ea = a.replay(log, batch_size=200)  # 10 windows, small → collect
+
+        b = _engine(spark, tmp_path, "streamed")
+        b.PROBE_COLLECT_MAX = 1  # every probe exceeds the bound
+        eb = b.replay(log, batch_size=200)
+
+        assert [e["batch_id"] for e in ea] == [e["batch_id"] for e in eb]
+        assert a.verify_against(expected_final_state(log))["ok"]
+        assert b.verify_against(expected_final_state(log))["ok"]
