@@ -75,6 +75,64 @@ def scale_conf() -> dict[str, str]:
     }
 
 
+def _cpu_supply_probe(threads: int, seconds: float = 2.0) -> dict:
+    """Measure the host CPU supply actually delivered at ``threads`` width.
+
+    The sandbox is a multi-tenant microVM: identical jobs swing 2-8x
+    with host steal, and the WIDER level loses more (BASELINE.md).
+    Rather than asserting "weather", each worker samples it: a pure-CPU
+    probe (sha256 over a 1 MiB buffer — hashlib releases the GIL, so
+    Python threads genuinely scale ~1.0 across widths on an idle host;
+    any cross-width shortfall is host steal) and a memory-bandwidth
+    probe (numpy copy of a 64 MiB array per thread — reported as
+    context only: the shared memory bus saturates with threads even on
+    an idle host, so this ratio is NOT a contention signal and is
+    excluded from corrections). Probes run before AND after the timed
+    replay in the same process; the mean is the round's supply
+    estimate.
+    """
+    import hashlib
+    import threading
+
+    import numpy as np
+
+    buf = b"\x00" * (1 << 20)
+    hash_counts = [0] * threads
+    copy_counts = [0] * threads
+    arrs = [np.zeros(8 << 20, dtype=np.float64) for _ in range(threads)]
+
+    deadline = time.time() + seconds
+
+    def spin_hash(i: int) -> None:
+        h = hashlib.sha256
+        while time.time() < deadline:
+            h(buf).digest()
+            hash_counts[i] += 1
+
+    def run(target) -> None:
+        ts = [threading.Thread(target=target, args=(i,)) for i in range(threads)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+    run(spin_hash)
+
+    deadline = time.time() + seconds
+
+    def spin_copy(i: int) -> None:
+        a = arrs[i]
+        while time.time() < deadline:
+            a.copy()
+            copy_counts[i] += 1
+
+    run(spin_copy)
+    return {
+        "hash_mb_per_sec": round(sum(hash_counts) / seconds, 1),
+        "copy_mb_per_sec": round(sum(copy_counts) * 64 / seconds, 1),
+    }
+
+
 def worker(cores: int, log_path: str) -> None:
     """One timed replay in this JVM; prints one JSON line."""
     from rfb_cnpj_etl_spark.engine import CdcEngine
@@ -107,10 +165,16 @@ def worker(cores: int, log_path: str) -> None:
         eng = CdcEngine(
             spark, f"{tmp}/state", f"{tmp}/manifest.jsonl"
         )
+        calib_before = _cpu_supply_probe(cores)
         t0 = time.time()
         eng.replay(log, batch_size=max(n // BATCHES, 1))
         dt = time.time() - t0
+        calib_after = _cpu_supply_probe(cores)
         rows = eng.final_state().count()
+        calib = {
+            k: round((calib_before[k] + calib_after[k]) / 2.0, 1)
+            for k in calib_before
+        }
         print(
             json.dumps(
                 {
@@ -119,6 +183,7 @@ def worker(cores: int, log_path: str) -> None:
                     "seconds": round(dt, 3),
                     "events_per_sec": round(n / dt, 1),
                     "final_rows": rows,
+                    "cpu_supply": calib,
                 }
             )
         )
@@ -173,15 +238,48 @@ def run_levels(log_path: str) -> tuple[dict, dict, list[dict]]:
         res = {c: _collect(_spawn(c, log_path), c, i) for c in order}
         lo, hi = res[N_CORES], res[4 * N_CORES]
         eff = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
-        rounds.append(
-            {
-                "round": i,
-                "events_per_sec_n": lo["events_per_sec"],
-                "events_per_sec_4n": hi["events_per_sec"],
-                "efficiency": round(eff, 3),
+        entry = {
+            "round": i,
+            "events_per_sec_n": lo["events_per_sec"],
+            "events_per_sec_4n": hi["events_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+        # Supply ratio: how well the PROBES scaled across the same two
+        # widths in the same windows. <1.0 means the host did not
+        # deliver 4x the resource to the wide level — a ceiling no
+        # engine can beat. Correction uses ONLY the hash (pure-CPU)
+        # ratio: sha256 threads are embarrassingly parallel and scale
+        # ~1.0 on an idle host (measured 1.05 at 2->8), so any
+        # shortfall there is host steal. The copy ratio is reported as
+        # context but NOT used for correction — 8 threads copying
+        # 64 MiB arrays saturate the shared memory bus even on an idle
+        # host (measured 0.07, i.e. total bandwidth DROPS with
+        # threads), so correcting by it would inflate efficiency by an
+        # artifact present regardless of contention.
+        # corrected = raw / min(hash_supply, 1).
+        if "cpu_supply" in lo and "cpu_supply" in hi:
+            supply = {
+                k: round(
+                    hi["cpu_supply"][k] / (4.0 * lo["cpu_supply"][k]), 3
+                )
+                for k in lo["cpu_supply"]
             }
+            entry["supply_ratio"] = supply
+            cpu = supply["hash_mb_per_sec"]
+            entry["supply_corrected_efficiency"] = round(
+                eff / min(cpu, 1.0), 3
+            )
+        rounds.append(entry)
+        sys.stderr.write(
+            f"  round {i}: efficiency={eff:.3f}"
+            + (
+                f" (supply {entry['supply_ratio']}, corrected "
+                f"{entry['supply_corrected_efficiency']})"
+                if "supply_ratio" in entry
+                else ""
+            )
+            + "\n"
         )
-        sys.stderr.write(f"  round {i}: efficiency={eff:.3f}\n")
         for cores, res in ((N_CORES, lo), (4 * N_CORES, hi)):
             if (
                 cores not in best
@@ -221,6 +319,20 @@ def main() -> None:
         lo, hi, rounds = run_levels(log_path)
         effs = sorted(r["efficiency"] for r in rounds)
         median_eff = effs[len(effs) // 2]
+        # Clean-window subset: rounds where the pure-CPU probe shows
+        # the host delivered >=90% of proportional supply to the wide
+        # level (hash ratio only — see run_levels on why copy is
+        # excluded).
+        clean = [
+            r["efficiency"]
+            for r in rounds
+            if r.get("supply_ratio", {}).get("hash_mb_per_sec", 0) >= 0.9
+        ]
+        corrected = sorted(
+            r["supply_corrected_efficiency"]
+            for r in rounds
+            if "supply_corrected_efficiency" in r
+        )
         # Each level's BEST run across rounds is its least-host-contended
         # sample (identical work was observed to swing 2.7x with host
         # weather) — the pair estimates uncontended scaling the way min
@@ -236,6 +348,10 @@ def main() -> None:
                     "target": 0.8,
                     "pass": best_eff >= 0.8,
                     "median_round_efficiency": median_eff,
+                    "clean_window_efficiencies": clean,
+                    "median_supply_corrected_efficiency": (
+                        corrected[len(corrected) // 2] if corrected else None
+                    ),
                     "events": N_EVENTS,
                     "n_cores": N_CORES,
                     "n4_cores": 4 * N_CORES,
