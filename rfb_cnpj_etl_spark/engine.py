@@ -395,7 +395,7 @@ class CdcEngine:
             hw = self.manifest.high_watermark()
             entry = self.manifest.commit(
                 {
-                    "batch_id": f"maintenance_{len(self.manifest.entries())}",
+                    "batch_id": f"maintenance_{self.manifest.count()}",
                     "lsn_lo": hw,
                     "lsn_hi": hw,
                     "schema_version": self.registry.version,
@@ -422,7 +422,7 @@ class CdcEngine:
         # seq in the id keeps repeated rebuckets (32→64→32→…) distinct —
         # Manifest.commit dedups on batch_id.
         entry = {
-            "batch_id": f"rebucket_{len(self.manifest.entries())}_to_{new_buckets}",
+            "batch_id": f"rebucket_{self.manifest.count()}_to_{new_buckets}",
             "lsn_lo": hw,
             "lsn_hi": hw,
             "schema_version": self.registry.version,

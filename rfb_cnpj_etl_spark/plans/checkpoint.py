@@ -14,22 +14,29 @@ SURVEY S8 calls out. The engine closes that gap:
   O(manifest): round 2 rewrote the whole JSONL file per commit and
   re-read it per ``is_applied`` probe, an O(n²) driver cost across a
   long replay;
-* segments are folded into the JSONL snapshot at ``{path}`` every
-  ``compact_segments`` commits (write temp + rename, then delete the
-  folded segments — a crash between the two leaves duplicates that the
-  loader dedups by batch_id, so every window is safe);
+* segments are folded into the JSONL snapshot every
+  ``compact_segments`` commits by APPENDING them (O(segments) per fold,
+  O(n) total over the manifest's lifetime — round 3 rewrote the whole
+  snapshot per fold, an O(n²/256) tail). The fold's commit point is the
+  flushed append; deleting the folded segments afterwards is cleanup (a
+  crash in between leaves duplicates that load dedups by batch_id, and
+  a crash mid-append leaves a torn FINAL line whose entry still lives in
+  its segment file — the loader tolerates exactly that torn tail);
 * on restart, ``high_watermark()`` gives the last applied LSN; events at
   or below it are skipped (idempotent replay), and a crash after the
   data swap but before the manifest commit merely re-applies a batch
   that LWW-by-LSN turns into a no-op.
 
-State (entries, applied ids, high watermark) is kept in memory and
-updated incrementally — the manifest is single-writer per replay (one
-engine owns it), which is the same contract the data-side swap protocol
-already assumes. The files are tiny JSON on the driver — at cluster
-scale they live on the object store next to the table (same pattern,
-``fs.rename`` as the commit), or become the Iceberg snapshot log when
-the runtime is present.
+Driver memory is bounded: aggregates (count, high watermark, schema
+version, current buckets) are tracked incrementally and only a tail of
+``tail_entries`` full entries stays in memory — ``entries()`` streams
+the snapshot from disk in the rare case a caller wants history beyond
+the tail. The applied-id set is the one intrinsically O(batches)
+structure (it IS the exactly-once check); at the production scale of
+~10² batches per 10¹⁰ events it is trivially small. The files are tiny
+JSON on the driver — at cluster scale they live on the object store
+next to the table (same pattern, ``fs.rename`` as the commit), or
+become the Iceberg snapshot log when the runtime is present.
 """
 
 from __future__ import annotations
@@ -37,21 +44,34 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 
 
 class Manifest:
     """Append-only manifest: JSONL snapshot + atomic per-commit segment
-    files, folded together periodically. Single-writer; readers may
-    re-open concurrently (a fresh instance reloads from disk)."""
+    files, folded together periodically by appending. Single-writer;
+    readers may re-open concurrently (a fresh instance reloads from
+    disk)."""
 
-    def __init__(self, path: str, compact_segments: int = 256) -> None:
+    def __init__(
+        self,
+        path: str,
+        compact_segments: int = 256,
+        tail_entries: int = 65536,
+    ) -> None:
         self.path = path
         self.segs_dir = f"{path}.segs"
         self.compact_segments = compact_segments
+        self.tail_entries = tail_entries
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._entries: list[dict] = []
+        #: bounded in-memory tail (newest entries); full history stays on
+        #: disk and is streamed on demand by entries().
+        self._tail: deque[dict] = deque(maxlen=tail_entries)
         self._ids: set[str] = set()
+        self._count = 0
         self._hw = -1
+        self._schema_version = 0
+        self._buckets: int | None = None
         self._load()
 
     # -- load ------------------------------------------------------------
@@ -65,27 +85,66 @@ class Manifest:
             if f.startswith("seg-") and f.endswith(".json")
         )
 
-    def _load(self) -> None:
-        raw: list[dict] = []
+    def _iter_disk(self):
+        """Stream every persisted entry (snapshot lines then segments) in
+        commit order, tolerating only a torn FINAL snapshot line (the
+        append-fold crash window — that entry still lives in its segment
+        file). A torn middle line is real corruption and raises."""
+        lines: list[str] = []
         if os.path.exists(self.path):
             with open(self.path, encoding="utf-8") as f:
-                raw.extend(json.loads(line) for line in f if line.strip())
+                lines = [ln for ln in f if ln.strip()]
+        for i, ln in enumerate(lines):
+            try:
+                yield json.loads(ln)
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    continue  # torn append tail; recovered from its segment
+                raise
         for name in self._segment_files():
             with open(os.path.join(self.segs_dir, name), encoding="utf-8") as f:
-                raw.append(json.load(f))
-        for e in raw:
+                yield json.load(f)
+
+    def _track(self, e: dict) -> None:
+        """Fold one entry into the incremental aggregates + tail."""
+        self._ids.add(e["batch_id"])
+        self._count += 1
+        self._tail.append(e)
+        self._hw = max(self._hw, int(e.get("lsn_hi", -1)))
+        self._schema_version = max(
+            self._schema_version, int(e.get("schema_version", 0))
+        )
+        if e.get("buckets") is not None:
+            self._buckets = int(e["buckets"])
+
+    def _load(self) -> None:
+        for e in self._iter_disk():
             # a crash between snapshot fold and segment deletion leaves an
             # entry in BOTH — first occurrence wins (identical content).
             if e["batch_id"] in self._ids:
                 continue
-            self._ids.add(e["batch_id"])
-            self._entries.append(e)
-            self._hw = max(self._hw, int(e.get("lsn_hi", -1)))
+            self._track(e)
 
     # -- read ------------------------------------------------------------
 
+    def count(self) -> int:
+        """Total committed entries (O(1), unlike len(entries()))."""
+        return self._count
+
     def entries(self) -> list[dict]:
-        return list(self._entries)
+        """Full entry history in commit order. Served from memory while
+        the manifest is within the tail bound; beyond it, streamed back
+        off disk (dedup by batch_id, same as load)."""
+        if len(self._tail) == self._count:
+            return list(self._tail)
+        seen: set[str] = set()
+        out: list[dict] = []
+        for e in self._iter_disk():
+            if e["batch_id"] in seen:
+                continue
+            seen.add(e["batch_id"])
+            out.append(e)
+        return out
 
     def high_watermark(self) -> int:
         """Highest applied LSN; -1 when nothing applied yet."""
@@ -95,16 +154,13 @@ class Manifest:
         return set(self._ids)
 
     def schema_version(self) -> int:
-        return max((e.get("schema_version", 0) for e in self._entries), default=0)
+        return self._schema_version
 
     def current_buckets(self) -> int | None:
         """Bucket count of the table's current layout (last entry that
         recorded one — merge and rebucket entries both do). None when the
         manifest predates bucket recording or is empty."""
-        for e in reversed(self._entries):
-            if e.get("buckets") is not None:
-                return int(e["buckets"])
-        return None
+        return self._buckets
 
     # -- write -----------------------------------------------------------
 
@@ -113,30 +169,36 @@ class Manifest:
         renamed into place (the reference's .part/os.replace pattern)."""
         if entry["batch_id"] in self._ids:
             return entry  # already committed → no-op (exactly-once)
-        entry = {**entry, "committed_at": time.time(), "seq": len(self._entries)}
+        entry = {**entry, "committed_at": time.time(), "seq": self._count}
         os.makedirs(self.segs_dir, exist_ok=True)
         name = f"seg-{entry['seq']:010d}.json"
         tmp = os.path.join(self.segs_dir, name + ".part")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(entry, f)
         os.replace(tmp, os.path.join(self.segs_dir, name))
-        self._entries.append(entry)
-        self._ids.add(entry["batch_id"])
-        self._hw = max(self._hw, int(entry.get("lsn_hi", -1)))
+        self._track(entry)
         if len(self._segment_files()) >= self.compact_segments:
             self._fold_segments()
         return entry
 
     def _fold_segments(self) -> None:
-        """Fold segments into the snapshot. Commit point = the snapshot
-        rename; deleting the folded segments afterwards is cleanup (a
-        crash in between leaves harmless duplicates, deduped at load)."""
+        """Fold segments into the snapshot by APPENDING their entries —
+        O(segments) I/O per fold, never O(total manifest). Commit point =
+        the flushed+fsynced append; deleting the folded segments
+        afterwards is cleanup (a crash in between leaves harmless
+        duplicates, deduped at load; a crash mid-append leaves a torn
+        final line recovered from its still-present segment)."""
         segs = self._segment_files()
-        tmp = f"{self.path}.part"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for e in self._entries:
-                f.write(json.dumps(e) + "\n")
-        os.replace(tmp, self.path)
+        if not segs:
+            return
+        with open(self.path, "a", encoding="utf-8") as f:
+            for name in segs:
+                with open(
+                    os.path.join(self.segs_dir, name), encoding="utf-8"
+                ) as seg:
+                    f.write(seg.read().strip() + "\n")
+            f.flush()
+            os.fsync(f.fileno())
         for name in segs:
             try:
                 os.remove(os.path.join(self.segs_dir, name))
