@@ -89,6 +89,7 @@ class CdcEngine:
         salt_buckets: int | None = None,
         normalize: Callable[[DataFrame], DataFrame] | None = default_normalize,
         registry: SchemaRegistry | None = None,
+        merge_mode: str = "auto",
     ) -> None:
         self.spark = spark
         self.manifest = Manifest(manifest_path)
@@ -120,6 +121,10 @@ class CdcEngine:
             )
         self.normalize = normalize
         self.registry = registry or SchemaRegistry(CHANGELOG_SCHEMA)
+        #: per-batch write strategy: "cow" always rewrites touched
+        #: buckets, "mor" always appends delta files, "auto" decides per
+        #: batch from the batch-size/state-size ratio (StateTable.merge).
+        self.merge_mode = merge_mode
 
     #: (window, bucket) probe rows the driver will hold at once before
     #: switching to the streamed per-partition fetch (65536 rows of 4
@@ -137,6 +142,7 @@ class CdcEngine:
         touched: list[int] | None = None,
         minhash_index=None,
         index_threshold: float = 0.5,
+        batch_rows: int | None = None,
     ) -> dict:
         """Normalize → dedup → MERGE → (optional near-dup index update +
         per-batch pair report) → manifest-commit one micro-batch.
@@ -163,7 +169,9 @@ class CdcEngine:
             added = self.registry.evolve(merged_schema)
         if self.normalize is not None:
             batch = self.normalize(batch)
-        metrics = self.state.merge(batch, touched=touched)
+        metrics = self.state.merge(
+            batch, touched=touched, mode=self.merge_mode, batch_rows=batch_rows
+        )
         entry = {
             "batch_id": batch_id,
             "lsn_lo": int(lsn_lo),
@@ -264,8 +272,13 @@ class CdcEngine:
         probe = pending if self.normalize is None else self.normalize(pending)
         bucket_col = key_bucket(self.state.keys, self.state.buckets)
         win = F.floor(F.col(lsn_col) / F.lit(batch_size)).cast("long")
+        # __n rides the same agg for free: per-(window, bucket) event
+        # counts give each batch's row count (the COW/MOR auto decision
+        # input) without any extra scan or job.
         pairs_agg = probe.groupBy(win.alias("__w"), bucket_col.alias("__b")).agg(
-            F.max(lsn_col).alias("__hi"), F.min(lsn_col).alias("__lo")
+            F.max(lsn_col).alias("__hi"),
+            F.min(lsn_col).alias("__lo"),
+            F.count(F.lit(1)).alias("__n"),
         )
         # Hybrid fetch. The streamed path (range-repartition + sort +
         # one fetch job per partition) bounds driver memory when the
@@ -300,7 +313,9 @@ class CdcEngine:
 
         entries = []
 
-        def flush(wid: int, buckets: list[int], lo: int, hi: int) -> None:
+        def flush(
+            wid: int, buckets: list[int], lo: int, hi: int, rows: int
+        ) -> None:
             start, end = wid * batch_size, (wid + 1) * batch_size - 1
             batch = pending.filter(F.col(lsn_col).between(start, end))
             # batch_id and the manifest record the REAL lsn span (not the
@@ -316,6 +331,7 @@ class CdcEngine:
                     touched=sorted(buckets),
                     minhash_index=minhash_index,
                     index_threshold=index_threshold,
+                    batch_rows=rows,
                 )
             )
 
@@ -326,12 +342,13 @@ class CdcEngine:
         # guarantees a window's rows are contiguous).
         cur_w: int | None = None
         cur_buckets: list[int] = []
-        cur_lo = cur_hi = 0
+        cur_lo = cur_hi = cur_rows = 0
         for r in row_iter:
             w = int(r["__w"])
             if cur_w is not None and w != cur_w:
-                flush(cur_w, cur_buckets, cur_lo, cur_hi)
+                flush(cur_w, cur_buckets, cur_lo, cur_hi, cur_rows)
                 cur_buckets = []
+                cur_rows = 0
             if not cur_buckets:
                 cur_lo, cur_hi = int(r["__lo"]), int(r["__hi"])
             else:
@@ -339,8 +356,9 @@ class CdcEngine:
                 cur_hi = max(cur_hi, int(r["__hi"]))
             cur_w = w
             cur_buckets.append(int(r["__b"]))
+            cur_rows += int(r["__n"])
         if cur_w is not None:
-            flush(cur_w, cur_buckets, cur_lo, cur_hi)
+            flush(cur_w, cur_buckets, cur_lo, cur_hi, cur_rows)
         if maintenance is not None:
             report = self.maintain(maintenance, minhash_index=minhash_index)
             if report.get("actions"):

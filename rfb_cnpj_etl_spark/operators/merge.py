@@ -56,7 +56,35 @@ class StateTable(BucketedParquetStore):
     Layout: ``{path}/bucket=<i>/part-*.parquet``. Schema = user columns
     + ``lsn`` (last applied per key) + ``content_sha256`` (the per-row
     invariant) + partition column ``bucket``.
+
+    Two write modes, chosen per batch (``merge(mode=...)``):
+
+    * **copy-on-write** (the bulk-replay fast path): read the touched
+      buckets, fold in the batch, rewrite those buckets whole. Optimal
+      when the batch is a sizable fraction of what it touches.
+    * **merge-on-read** (the steady-state small-churn path): the batch's
+      LWW winners — including delete tombstones — are APPENDED as
+      per-bucket delta files (O(batch) write I/O, no base rewrite);
+      reads fold base + deltas through the same LWW-by-LSN dedup, and
+      compaction/COW batches fold deltas back into the base. This is
+      the fix for the one 100×-scale flaw of rounds ≤3: at uniform
+      churn a COW batch of 10⁷ keys over a 10⁹-key table rewrote the
+      whole corpus to apply 0.1% of it.
+
+    ``mode="auto"`` picks per batch from the batch-rows /
+    touched-state-rows ratio (the reference's batch-ratio knob,
+    ``config.py:31-34``, turned into a data-dependent decision), with a
+    per-bucket delta-file cap forcing a folding COW batch before reads
+    degrade.
     """
+
+    #: auto mode appends a delta iff batch_rows ≤ ratio × (estimated
+    #: rows already in the touched buckets) — bigger batches amortize a
+    #: rewrite; smaller ones shouldn't pay O(touched corpus).
+    MOR_ROW_RATIO = 0.25
+    #: a touched bucket already holding this many delta files forces a
+    #: folding COW batch (bounds what every read must merge).
+    DELTA_FILES_CAP = 32
 
     def __init__(
         self,
@@ -65,13 +93,53 @@ class StateTable(BucketedParquetStore):
         keys: list[str] | None = None,
         buckets: int = 32,
         content_col: str = "content",
+        lsn_col: str = "lsn",
+        op_col: str = "op",
     ) -> None:
         self.keys = keys or CODE_KEY
         self.content_col = content_col
-        super().__init__(spark, path, buckets)
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+        super().__init__(spark, path, buckets, bucket_keys=self.keys)
+        #: estimated current rows per bucket (exact after a COW rewrite
+        #: of the bucket; += appended winners for MOR batches — an upper
+        #: bound). Drives the auto COW/MOR decision; persisted in the
+        #: layout marker. Advisory only: never used for correctness.
+        self._row_est: dict[int, int] = self._load_row_est()
+
+    def _load_row_est(self) -> dict[int, int]:
+        import json as _json
+
+        meta = os.path.join(self.path, self.META_FILE)
+        if not os.path.exists(meta):
+            return {}
+        with open(meta, encoding="utf-8") as f:
+            raw = _json.load(f).get("row_est") or {}
+        return {int(k): int(v) for k, v in raw.items()}
 
     def _meta_payload(self) -> dict:
-        return {"buckets": self.buckets, "keys": self.keys}
+        return {
+            "buckets": self.buckets,
+            "keys": self.keys,
+            "row_est": {str(b): n for b, n in self._row_est.items()},
+        }
+
+    # -- merge-on-read fold ---------------------------------------------
+
+    def _fold_delta(self, base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        """Base ∪ delta → current rows: ONE hash-agg LWW by (key, lsn)
+        with delete-tombstone filtering — the exact dedup the COW merge
+        runs, applied at read time. ``allowMissingColumns`` carries
+        add-column schema evolution across base/delta vintages (older
+        rows read NULL for columns added later)."""
+        if base is not None:
+            merged = base.withColumn(
+                self.op_col, F.lit(OP_UPSERT)
+            ).unionByName(delta, allowMissingColumns=True)
+        else:
+            merged = delta
+        folded = last_writer_wins_agg(merged, self.keys, self.lsn_col, self.op_col)
+        return folded.filter(F.col(self.op_col) != OP_DELETE).drop(self.op_col)
 
     # -- write ---------------------------------------------------------
 
@@ -113,13 +181,16 @@ class StateTable(BucketedParquetStore):
     def merge(
         self,
         batch: DataFrame,
-        lsn_col: str = "lsn",
-        op_col: str = "op",
+        lsn_col: str | None = None,
+        op_col: str | None = None,
         salt_buckets: int | None = None,
         touched: list[int] | None = None,
+        mode: str = "auto",
+        batch_rows: int | None = None,
     ) -> dict:
         """Apply a changelog micro-batch. Returns manifest metrics:
-        ``{"touched_buckets": [...], "bucket_rows": {b: n}, "rows": N}``.
+        ``{"touched_buckets": [...], "bucket_rows": {b: n}, "rows": N,
+        "mode": "cow"|"mor", "bytes_written": N}``.
 
         Logical semantics::
 
@@ -131,11 +202,21 @@ class StateTable(BucketedParquetStore):
         LWW-by-LSN is associative, so state ∪ batch needs only ONE
         keyed dedup (``salt_buckets`` is deprecated: the hash-agg LWW
         collapses hot keys map-side — SURVEY P7's skew answer is free
-        here). The whole merge is ONE Spark job:
-        ``touched`` can be precomputed for all batches in a single
-        upfront pass (CdcEngine.replay does), stored sha256 is reused so
-        only new winners hash, and the per-bucket manifest metrics ride
-        the write job as observed metrics instead of a follow-up count.
+        here). ``touched`` can be precomputed for all batches in a
+        single upfront pass (CdcEngine.replay does), stored sha256 is
+        reused so only new winners hash, and the per-bucket manifest
+        metrics ride the write job as observed metrics instead of a
+        follow-up count.
+
+        ``mode``: ``"cow"`` rewrites the touched buckets (bulk path),
+        ``"mor"`` appends the batch winners as delta files (small-churn
+        path, O(batch) write I/O), ``"auto"`` picks per batch —
+        requiring ``batch_rows`` (the replay loop gets it free from its
+        upfront window probe; a standalone caller may pass
+        ``batch.count()``; without it auto stays on COW). For MOR
+        batches ``bucket_rows`` counts the winners *appended* per
+        bucket, not the bucket's total rows — the manifest entry's
+        ``mode`` field says which reading applies.
         """
         if salt_buckets is not None:
             import warnings
@@ -146,6 +227,10 @@ class StateTable(BucketedParquetStore):
                 DeprecationWarning,
                 stacklevel=2,
             )
+        if mode not in ("auto", "cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        lsn_col = lsn_col or self.lsn_col
+        op_col = op_col or self.op_col
         bucket_col = key_bucket(self.keys, self.buckets)
         if touched is None:
             touched = self.touched_buckets(batch)
@@ -155,6 +240,129 @@ class StateTable(BucketedParquetStore):
         incoming = batch
         if "bucket" not in incoming.columns:
             incoming = incoming.withColumn("bucket", bucket_col)
+        if self._resolve_mode(mode, batch_rows, touched) == "mor":
+            return self._merge_mor(incoming, lsn_col, op_col, touched)
+        return self._merge_cow(incoming, lsn_col, op_col, touched)
+
+    def _resolve_mode(
+        self, mode: str, batch_rows: int | None, touched: list[int]
+    ) -> str:
+        """COW vs MOR for one batch. Auto = MOR iff the store exists,
+        every touched bucket has a row estimate, the batch is small
+        relative to them (< MOR_ROW_RATIO), and no touched bucket has
+        hit the delta-file cap (then a COW batch folds it)."""
+        if mode == "cow" or not self.exists():
+            return "cow"
+        if mode == "mor":
+            return "mor"
+        if batch_rows is None:
+            return "cow"
+        est = [self._row_est.get(b) for b in touched]
+        if any(v is None for v in est):
+            return "cow"  # untracked layout (legacy store) → populate via COW
+        total = sum(est)
+        if total == 0 or batch_rows > self.MOR_ROW_RATIO * total:
+            return "cow"
+        dcounts = self.delta_file_counts()
+        if any(dcounts.get(b, 0) >= self.DELTA_FILES_CAP for b in touched):
+            return "cow"
+        return "mor"
+
+    def _observe_bucket_counts(self, df: DataFrame, touched: list[int]):
+        """Attach per-bucket row counters to ride the write job (V4
+        progress metering with zero extra scans); returns (df, obs) with
+        obs None past the bulky-metrics bound."""
+        if len(touched) > self.OBSERVE_METRICS_MAX_BUCKETS:
+            return df, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in touched
+            ],
+        )
+        return df, obs
+
+    @staticmethod
+    def _obs_counts(obs) -> dict[int, int] | None:
+        """Observed per-bucket counts, or None when AQE empty-relation
+        propagation eliminated the CollectMetrics node (e.g. every key
+        deleted) — callers fall back to a footer-only count."""
+        if obs is None:
+            return None
+        try:
+            return {int(k[1:]): int(v) for k, v in obs.get.items() if v and v > 0}
+        except Exception:  # noqa: BLE001
+            return None
+
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def _merge_mor(
+        self, incoming: DataFrame, lsn_col: str, op_col: str, touched: list[int]
+    ) -> dict:
+        """Append the batch's LWW winners — delete tombstones included —
+        as per-bucket delta files: write I/O is O(batch), never
+        O(touched corpus). Winners are deterministic from the batch, so
+        a crash-replay appends identical rows that the read-time fold
+        collapses (idempotent without a manifest-side guard)."""
+        winners = last_writer_wins_agg(incoming, self.keys, lsn_col, op_col)
+        sha = F.sha2(F.col(self.content_col).cast("string"), 256)
+        if "content_sha256" in winners.columns:
+            sha = F.coalesce(F.col("content_sha256"), sha)
+        winners = winners.withColumn(
+            "content_sha256",
+            F.when(F.col(op_col) != OP_DELETE, sha),  # tombstones: NULL
+        )
+        winners, obs = self._observe_bucket_counts(winners, touched)
+        staging = f"{self.path}.delta_staging"
+        staged = self.stage_write(
+            winners.repartition(len(touched), "bucket"), staging
+        )
+        unexpected = sorted(set(staged) - set(touched))
+        if unexpected:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"merge produced rows in buckets {unexpected} outside the "
+                f"precomputed touched set {sorted(touched)}; the touched-"
+                "bucket probe must run on keys normalized identically to "
+                "the merged batch (state table left unchanged)"
+            )
+        bytes_written = self._dir_bytes(staging)
+        files = self.append_delta(staging, staged)
+        counts = self._obs_counts(obs)
+        if counts is None:
+            # rare fallback (see _obs_counts): recompute the tiny winner
+            # counts — deterministic, and only the counts job, not the data.
+            counts = {
+                int(r["bucket"]): int(r["n"])
+                for r in winners.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        for b, n in counts.items():
+            self._row_est[b] = self._row_est.get(b, 0) + n
+        self._write_meta()
+        return {
+            "touched_buckets": touched,
+            "bucket_rows": counts,
+            "rows": int(sum(counts.values())),
+            "buckets": self.buckets,
+            "mode": "mor",
+            "bytes_written": bytes_written,
+            "delta_files": files,
+        }
+
+    def _merge_cow(
+        self, incoming: DataFrame, lsn_col: str, op_col: str, touched: list[int]
+    ) -> dict:
         if self.exists():
             # state keeps its stored content_sha256; the batch side gets
             # NULL (allowMissingColumns) and hashes post-dedup.
@@ -182,20 +390,7 @@ class StateTable(BucketedParquetStore):
 
         # Per-bucket row metrics observed inside the write job — no
         # follow-up count job (V4 progress metering without extra scans).
-        obs = None
-        if len(touched) <= self.OBSERVE_METRICS_MAX_BUCKETS:
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            final = final.observe(
-                obs,
-                *[
-                    F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(
-                        f"b{b}"
-                    )
-                    for b in touched
-                ],
-            )
+        final, obs = self._observe_bucket_counts(final, touched)
 
         # stage → swap (atomic per bucket dir, commit point = manifest).
         # Repartition on the partition column first (Iceberg
@@ -226,21 +421,25 @@ class StateTable(BucketedParquetStore):
                 "the merged batch (state table left unchanged)"
             )
 
+        bytes_written = self._dir_bytes(staging)
+        counts = self._obs_counts(obs)
+        if counts is not None:
+            # refresh the row estimates BEFORE the swap writes the
+            # layout marker, so the marker carries them for free
+            for b in touched:
+                if counts.get(b, 0) > 0:
+                    self._row_est[b] = counts[b]
+                else:
+                    self._row_est.pop(b, None)
         self.swap_buckets(staging, touched)
         shutil.rmtree(staging, ignore_errors=True)
+        # a COW rewrite of a bucket folds its deltas into the new base —
+        # drop them (crash before this: stale deltas are LWW no-ops)
+        self.clear_delta_buckets(touched)
 
-        counts = None
-        if obs is not None:
-            try:
-                counts = {
-                    int(k[1:]): int(v) for k, v in obs.get.items() if v and v > 0
-                }
-            except Exception:  # noqa: BLE001
-                # AQE empty-relation propagation can eliminate the
-                # CollectMetrics node (e.g. every key deleted) — fall
-                # back to the footer-only count job below.
-                counts = None
         if counts is None:
+            # AQE-eliminated metrics node (see _obs_counts): footer-only
+            # count job over the rewritten buckets (aggregate pushdown).
             remaining = [
                 b for b in touched if os.path.isdir(f"{self.path}/bucket={b}")
             ]
@@ -255,77 +454,37 @@ class StateTable(BucketedParquetStore):
                 if remaining
                 else {}
             )
+            for b in touched:
+                if counts.get(b, 0) > 0:
+                    self._row_est[b] = counts[b]
+                else:
+                    self._row_est.pop(b, None)
+            self._write_meta()
         return {
             "touched_buckets": touched,
             "bucket_rows": counts,
             "rows": int(sum(counts.values())),
             "buckets": self.buckets,
+            "mode": "cow",
+            "bytes_written": bytes_written,
         }
 
     # -- layout evolution (reference index pass analog, S11) ------------
 
     def rebucket(self, new_buckets: int) -> dict:
-        """B → B′ layout migration (the ``OPTIMIZE``/re-cluster analog of
-        the reference's post-load index pass, db/sqlite_builder.py:127-168).
-
-        At 100× the fixed bucket count must grow so one bucket stays a
-        few GB; this rewrites the whole table once under the new hash
-        modulus — full scan + one shuffle on the new bucket id, staged to
-        a side dir and swapped atomically (crash before the swap leaves
-        the old layout fully intact; the caller records the new B in the
-        manifest as the commit point).
-        """
-        if new_buckets < 1:
-            raise ValueError("new_buckets must be >= 1")
-        if not self.exists():
-            raise ValueError(f"no state table at {self.path} to rebucket")
-        old_buckets = self.buckets
-        staging = f"{self.path}.rebucket"
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
-        df = self.read().drop("bucket")
-        (
-            df.withColumn("bucket", key_bucket(self.keys, new_buckets))
-            .repartition(new_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging)
-        )
-        rows = self.spark.read.parquet(staging).count()
-        # The new-layout marker is written INTO staging so it rides the
-        # atomic rename below: a crash between the two os.replace calls
-        # must never leave a new-layout table without its marker (the
-        # post-swap _write_meta alone opened exactly that window — a
-        # marker-less new-layout table would resolve B from the stale
-        # manifest and a later merge would mix hash moduli, letting
-        # stale versions escape LWW).
-        self._write_meta(into=staging, buckets=new_buckets)
-        # Whole-table rename-aside swap. Crash between the two renames
-        # leaves the intact pre-rebucket table in {path}.old, which
-        # _recover() restores on the next construction — the rebucket is
-        # then simply re-run. Crash after the swap but before the
-        # caller's manifest commit is detected by the layout marker
-        # (already inside the swapped dir): the marker, not the
-        # manifest, is the layout's ground truth, and a later merge
-        # under the stale manifest B fails loudly at construction
-        # instead of silently mis-pruning buckets.
-        old = f"{self.path}.old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.replace(self.path, old)
-        os.replace(staging, self.path)
-        self.buckets = new_buckets
-        self._write_meta()  # refresh (same content as the staged marker)
-        shutil.rmtree(old, ignore_errors=True)
-        return {
-            "rebucket_from": old_buckets,
-            "rebucket_to": new_buckets,
-            "rows": int(rows),
-            "buckets": new_buckets,
-        }
+        """B → B′ layout migration — the generic
+        :meth:`BucketedParquetStore.rebucket` protocol (``bucket_keys``
+        = the MERGE keys), which also folds any merge-on-read deltas
+        into the new base. The per-bucket counts it collects seed the
+        row estimates the auto COW/MOR decision runs on."""
+        res = super().rebucket(new_buckets)
+        self._row_est = dict(res["bucket_rows"])
+        self._write_meta()
+        return res
 
     def compact(self, target_files_per_bucket: int = 1) -> dict:
-        """Per-bucket small-file compaction — see the base class. The
+        """Per-bucket small-file compaction — see the base class (which
+        also folds merge-on-read deltas into the rewritten base). The
         >1-files split hash must be seeded INDEPENDENTLY of key_bucket:
         xxhash64(keys) % files is fully determined by xxhash64(keys) %
         buckets whenever files divides buckets."""
@@ -335,7 +494,19 @@ class StateTable(BucketedParquetStore):
                 F.xxhash64(*[F.col(k) for k in self.keys], F.lit(0x5EED)),
                 F.lit(target_files_per_bucket),
             )
-        return super().compact(target_files_per_bucket, split_col=split)
+        res = super().compact(target_files_per_bucket, split_col=split)
+        if res["compacted_buckets"]:
+            # post-fold base is the whole truth → exact row estimates
+            # via footer-only counts (parquet aggregate pushdown)
+            self._row_est = {
+                int(r["bucket"]): int(r["n"])
+                for r in self._read_base()
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            self._write_meta()
+        return res
 
     # -- audits (reference S10/S12 analogs) -----------------------------
 

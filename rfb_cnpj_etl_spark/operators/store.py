@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,10 +69,28 @@ class BucketedParquetStore:
     #: across a crash between a rebucket swap and its manifest commit.
     META_FILE = "_table_meta.json"
 
-    def __init__(self, spark: SparkSession, path: str, buckets: int = 32) -> None:
+    #: marker inside the delta root recording the hash modulus its
+    #: ``bucket=<i>`` dirs were laid out under. Deltas are only valid
+    #: against the base layout they were appended to: after a rebucket
+    #: (which folds them into the new base first) a mismatching marker
+    #: identifies the leftovers as already-folded garbage.
+    DELTA_META = "_delta_meta.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        buckets: int = 32,
+        bucket_keys: list[str] | None = None,
+    ) -> None:
         self.spark = spark
         self.path = path
         self.buckets = buckets
+        #: columns the bucket id is hashed from — needed to *re*-bucket
+        #: (recompute ids under a new modulus). None = rebucket disabled
+        #: for this store (subclasses with bespoke exprs override
+        #: :meth:`bucket_col` instead).
+        self.bucket_keys = bucket_keys
         self._recover()
         marker = self.layout_buckets(path)
         if marker is not None and marker != self.buckets:
@@ -80,6 +99,18 @@ class BucketedParquetStore:
                 f"(layout marker) but buckets={self.buckets} was requested; "
                 "construct with the marker value or run rebucket"
             )
+
+    def bucket_col(self, buckets: int | None = None) -> Column:
+        """The store's bucket-assignment expression (under ``buckets``
+        or the current modulus). Requires ``bucket_keys`` unless a
+        subclass overrides."""
+        if self.bucket_keys is None:
+            raise ValueError(
+                f"store at {self.path} has no bucket_keys recorded; "
+                "rebucket/bucket_col need the key columns the bucket id "
+                "is derived from"
+            )
+        return key_bucket(self.bucket_keys, buckets or self.buckets)
 
     # -- crash recovery / layout marker ---------------------------------
 
@@ -129,6 +160,19 @@ class BucketedParquetStore:
                     else:
                         os.replace(src, dst)  # swap crashed mid-bucket
         shutil.rmtree(whole_old, ignore_errors=True)
+        # Delta root laid out under a different modulus than the live
+        # base: rebucket folds every delta into the new base BEFORE the
+        # swap, so such leftovers are already-applied garbage from a
+        # crash between the rebucket swap and the delta clear — drop
+        # them (reading them under the new modulus would mix layouts).
+        dmarker = self._delta_layout_buckets()
+        base_marker = self.layout_buckets(self.path)
+        if (
+            dmarker is not None
+            and base_marker is not None
+            and dmarker != base_marker
+        ):
+            shutil.rmtree(self.delta_root, ignore_errors=True)
 
     def _swap_in(self, src: str, dst: str) -> None:
         """Replace ``dst`` with ``src`` without a window where neither
@@ -151,20 +195,155 @@ class BucketedParquetStore:
             e.startswith("bucket=") for e in os.listdir(self.path)
         )
 
-    def read(self) -> DataFrame:
+    def _bucket_dirs(self, root: str) -> list[int]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("bucket=") and not d.endswith(".old")
+        )
+
+    def _read_base(self) -> DataFrame:
         return self.spark.read.option("basePath", self.path).parquet(self.path)
 
-    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
-        """Partition-pruned scan of only the touched buckets (reads just
-        those directories — no full-table I/O)."""
+    def _read_base_buckets(self, bucket_ids: list[int]) -> DataFrame | None:
+        """Partition-pruned base scan; None when no requested bucket has
+        a base dir (callers fold None with the delta side, or treat it
+        as empty)."""
         paths = [
             f"{self.path}/bucket={b}"
             for b in bucket_ids
             if os.path.isdir(f"{self.path}/bucket={b}")
         ]
         if not paths:
-            return self.read().limit(0)
+            return self._read_base().limit(0) if self.exists() else None
         return self.spark.read.option("basePath", self.path).parquet(*paths)
+
+    def read(self) -> DataFrame:
+        """Current table contents. With merge-on-read delta segments
+        present, the base and the deltas are folded through the
+        subclass's :meth:`_fold_delta` (a store with no fold semantics
+        never has deltas)."""
+        if self.delta_bucket_ids():
+            return self._fold_delta(
+                self._read_base() if self.exists() else None, self._read_delta()
+            )
+        return self._read_base()
+
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+        """Partition-pruned scan of only the touched buckets (reads just
+        those directories — no full-table I/O), folding any merge-on-read
+        deltas those buckets hold."""
+        delta_ids = [
+            b for b in self.delta_bucket_ids() if b in set(bucket_ids)
+        ]
+        base = self._read_base_buckets(bucket_ids)
+        if delta_ids:
+            return self._fold_delta(base, self._read_delta(delta_ids))
+        if base is None:
+            raise ValueError(
+                f"store at {self.path} has no bucket data to read "
+                f"(requested buckets {sorted(bucket_ids)})"
+            )
+        return base
+
+    # -- merge-on-read delta segments -----------------------------------
+
+    @property
+    def delta_root(self) -> str:
+        return f"{self.path}.delta"
+
+    def _delta_layout_buckets(self) -> int | None:
+        meta = os.path.join(self.delta_root, self.DELTA_META)
+        if not os.path.exists(meta):
+            return None
+        with open(meta, encoding="utf-8") as f:
+            return int(json.load(f)["buckets"])
+
+    def delta_bucket_ids(self) -> list[int]:
+        """Bucket ids that currently hold delta files."""
+        return [
+            b
+            for b in self._bucket_dirs(self.delta_root)
+            if any(
+                e.endswith(".parquet")
+                for e in os.listdir(f"{self.delta_root}/bucket={b}")
+            )
+        ]
+
+    def delta_file_counts(self) -> dict[int, int]:
+        return {
+            b: sum(
+                1
+                for e in os.listdir(f"{self.delta_root}/bucket={b}")
+                if e.endswith(".parquet")
+            )
+            for b in self._bucket_dirs(self.delta_root)
+        }
+
+    def _read_delta(self, bucket_ids: list[int] | None = None) -> DataFrame:
+        ids = self.delta_bucket_ids() if bucket_ids is None else bucket_ids
+        paths = [
+            f"{self.delta_root}/bucket={b}"
+            for b in ids
+            if os.path.isdir(f"{self.delta_root}/bucket={b}")
+        ]
+        return self.spark.read.option("basePath", self.delta_root).parquet(*paths)
+
+    def _fold_delta(
+        self, base: DataFrame | None, delta: DataFrame
+    ) -> DataFrame:
+        """Resolve base rows against newer delta rows. Only subclasses
+        that append deltas define fold semantics (StateTable: LWW by lsn
+        with delete tombstones)."""
+        raise NotImplementedError(
+            f"store at {self.path} holds delta segments but defines no "
+            "fold semantics"
+        )
+
+    def append_delta(self, staging: str, staged: list[int]) -> int:
+        """Move a staged per-bucket write into the delta root as one new
+        immutable file per (bucket, staged file) — O(batch) I/O, no base
+        rewrite. Per-file ``os.replace`` is atomic; a crash mid-append
+        re-appends the deterministically recomputed batch on replay and
+        the fold's keyed dedup collapses the duplicates (LWW no-op).
+        Returns the number of files appended."""
+        os.makedirs(self.delta_root, exist_ok=True)
+        meta = os.path.join(self.delta_root, self.DELTA_META)
+        if not os.path.exists(meta):
+            tmp = meta + ".part"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"buckets": self.buckets}, f)
+            os.replace(tmp, meta)
+        token = uuid.uuid4().hex[:12]
+        moved = 0
+        for b in staged:
+            src_dir = f"{staging}/bucket={b}"
+            dst_dir = f"{self.delta_root}/bucket={b}"
+            os.makedirs(dst_dir, exist_ok=True)
+            for i, fname in enumerate(
+                sorted(
+                    e for e in os.listdir(src_dir) if e.endswith(".parquet")
+                )
+            ):
+                os.replace(
+                    os.path.join(src_dir, fname),
+                    os.path.join(dst_dir, f"d-{token}-{i:04d}.parquet"),
+                )
+                moved += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    def clear_delta_buckets(self, bucket_ids: list[int]) -> None:
+        """Drop delta files for buckets whose deltas were just folded
+        into a rewritten base (post-swap cleanup: a crash before this
+        leaves already-folded rows that the next fold resolves as LWW
+        no-ops)."""
+        for b in bucket_ids:
+            shutil.rmtree(f"{self.delta_root}/bucket={b}", ignore_errors=True)
+        if not self._bucket_dirs(self.delta_root):
+            shutil.rmtree(self.delta_root, ignore_errors=True)
 
     # -- staged write + swap --------------------------------------------
 
@@ -209,13 +388,11 @@ class BucketedParquetStore:
         supply a deterministic second partition key — see
         StateTable.compact); repartitioning on the bucket value alone
         maps each bucket to exactly one output file."""
-        if not self.exists():
-            return {"compacted_buckets": 0, "buckets": self.buckets}
         bucket_ids = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.path)
-            if d.startswith("bucket=") and not d.endswith(".old")
+            set(self._bucket_dirs(self.path)) | set(self.delta_bucket_ids())
         )
+        if not bucket_ids:
+            return {"compacted_buckets": 0, "buckets": self.buckets}
         staging = f"{self.path}.compacting"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
@@ -237,10 +414,96 @@ class BucketedParquetStore:
         df.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         for b in bucket_ids:
             src = f"{staging}/bucket={b}"
-            if os.path.isdir(src):
+            if os.path.isdir(src) or os.path.isdir(f"{self.path}/bucket={b}"):
                 self._swap_in(src, f"{self.path}/bucket={b}")
+        self._write_meta()
         shutil.rmtree(staging, ignore_errors=True)
+        # deltas are folded into the rewritten base; a crash before this
+        # cleanup leaves already-folded rows the next fold LWW-no-ops.
+        self.clear_delta_buckets(bucket_ids)
         return {"compacted_buckets": len(bucket_ids), "buckets": self.buckets}
+
+    def rebucket(self, new_buckets: int) -> dict:
+        """B → B′ layout migration (the ``OPTIMIZE``/re-cluster analog of
+        the reference's post-load index pass, db/sqlite_builder.py:127-168),
+        generic over every bucketed store: the bucket id is recomputed by
+        :meth:`bucket_col` under the new modulus (``bucket_keys`` for
+        plain stores; subclasses may override).
+
+        At 100× the fixed bucket count must grow so one bucket stays a
+        few GB; this rewrites the whole table once under the new hash
+        modulus — folded full scan + one shuffle on the new bucket id,
+        staged to a side dir and swapped atomically (crash before the
+        swap leaves the old layout fully intact; the caller records the
+        new B in its manifest as the commit point). Any merge-on-read
+        deltas are folded into the new base by the scan and their files
+        dropped after the swap (the delta layout marker identifies
+        crash-window leftovers as already folded).
+
+        Returns ``{"rebucket_from", "rebucket_to", "rows",
+        "bucket_rows", "buckets"}``.
+        """
+        if new_buckets < 1:
+            raise ValueError("new_buckets must be >= 1")
+        if not self.exists():
+            raise ValueError(f"no store at {self.path} to rebucket")
+        new_bucket_col = self.bucket_col(new_buckets)  # fails loudly w/o keys
+        old_buckets = self.buckets
+        staging = f"{self.path}.rebucket"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        df = self.read().drop("bucket")
+        (
+            df.withColumn("bucket", new_bucket_col)
+            .repartition(new_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        # per-bucket counts (≤ B′ ints on the driver) — footer-only via
+        # parquet aggregate pushdown; StateTable seeds its row tracking
+        # for the merge-mode heuristic from these.
+        bucket_rows = {
+            int(r["bucket"]): int(r["n"])
+            for r in self.spark.read.parquet(staging)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # The new-layout marker is written INTO staging so it rides the
+        # atomic rename below: a crash between the two os.replace calls
+        # must never leave a new-layout table without its marker (the
+        # post-swap _write_meta alone opened exactly that window — a
+        # marker-less new-layout table would resolve B from a stale
+        # manifest and a later merge would mix hash moduli, letting
+        # stale versions escape LWW).
+        self._write_meta(into=staging, buckets=new_buckets)
+        # Whole-table rename-aside swap. Crash between the two renames
+        # leaves the intact pre-rebucket table in {path}.old, which
+        # _recover() restores on the next construction — the rebucket is
+        # then simply re-run. Crash after the swap but before the
+        # caller's manifest commit is detected by the layout marker
+        # (already inside the swapped dir): the marker, not the
+        # manifest, is the layout's ground truth.
+        old = f"{self.path}.old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.replace(self.path, old)
+        os.replace(staging, self.path)
+        self.buckets = new_buckets
+        self._write_meta()  # refresh (same content as the staged marker)
+        shutil.rmtree(old, ignore_errors=True)
+        # deltas were folded into the new base by the read() above; the
+        # crash window between the swap and this clear is covered by the
+        # delta layout marker check in _recover().
+        shutil.rmtree(self.delta_root, ignore_errors=True)
+        return {
+            "rebucket_from": old_buckets,
+            "rebucket_to": new_buckets,
+            "rows": int(sum(bucket_rows.values())),
+            "bucket_rows": bucket_rows,
+            "buckets": new_buckets,
+        }
 
     def health(self) -> dict:
         """File-size health report (the observability half of OPTIMIZE —
@@ -250,8 +513,10 @@ class BucketedParquetStore:
         (no Spark job — see :func:`path_health`). Feeds the
         compact/rebucket decision: many small files per bucket →
         compact; max/median bucket bytes ≫ 1 → key-space skew; bucket
-        bytes near the executor-memory budget → rebucket to a larger B."""
-        return path_health(self.path)
+        bytes near the executor-memory budget → rebucket to a larger B.
+        Merge-on-read delta files count toward ``max_files_per_bucket``
+        (reads pay base + delta files until a compaction folds them)."""
+        return store_health(self.path)
 
     # -- audits ----------------------------------------------------------
 
@@ -299,5 +564,49 @@ def path_health(path: str) -> dict:
         ),
         "per_bucket": per_bucket,
     }
+
+
+def store_health(path: str) -> dict:
+    """:func:`path_health` plus the merge-on-read delta overlay: delta
+    file counts/bytes per bucket (from ``{path}.delta``), with
+    ``max_files_per_bucket`` counting base + delta files together —
+    that is what a folded read pays, and what the compaction policy
+    should trigger on. Still pure filesystem metadata."""
+    h = path_health(path)
+    delta_root = f"{path}.delta"
+    delta_per_bucket: dict[int, dict] = {}
+    if os.path.isdir(delta_root):
+        for d in sorted(os.listdir(delta_root)):
+            if not d.startswith("bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            files = [
+                e
+                for e in os.listdir(os.path.join(delta_root, d))
+                if e.endswith(".parquet")
+            ]
+            delta_per_bucket[b] = {
+                "files": len(files),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(delta_root, d, e))
+                    for e in files
+                ),
+            }
+    h["delta_files"] = sum(v["files"] for v in delta_per_bucket.values())
+    h["delta_bytes"] = sum(v["bytes"] for v in delta_per_bucket.values())
+    h["max_delta_files_per_bucket"] = max(
+        (v["files"] for v in delta_per_bucket.values()), default=0
+    )
+    all_buckets = set(h["per_bucket"]) | set(delta_per_bucket)
+    h["max_files_per_bucket"] = max(
+        (
+            h["per_bucket"].get(b, {}).get("files", 0)
+            + delta_per_bucket.get(b, {}).get("files", 0)
+            for b in all_buckets
+        ),
+        default=0,
+    )
+    h["delta_per_bucket"] = delta_per_bucket
+    return h
 
 

@@ -18,6 +18,7 @@ import tempfile
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from rfb_cnpj_etl_spark.plans.checkpoint import Manifest
 
@@ -117,3 +118,246 @@ class TestBoundedManifest:
             f.write(json.dumps({"batch_id": "later", "lsn_hi": 1}) + "\n")
         with pytest.raises(json.JSONDecodeError):
             Manifest(path)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read delta segments (VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+
+from rfb_cnpj_etl_spark.operators.merge import StateTable  # noqa: E402
+
+LOG_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string,"
+    " lsn long, op string"
+)
+
+
+def log_df(spark, rows):
+    return spark.createDataFrame(rows, LOG_SCHEMA)
+
+
+def row(repo, path, content, lsn, op="upsert"):
+    return (repo, path, f"c{lsn}", "python", content, lsn, op)
+
+
+def state_dict(st):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["lsn"])
+        for r in st.read().collect()
+    }
+
+
+def seed_rows(n):
+    """n keys spread across every bucket (uniform churn shape)."""
+    return [row("r", f"p{i}", f"v{i}", i) for i in range(n)]
+
+
+class TestMergeOnRead:
+    def test_mor_batch_appends_delta_and_folds(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=4)
+        st.merge(log_df(spark, seed_rows(50)))  # COW seed
+        m = st.merge(
+            log_df(
+                spark,
+                [row("r", "p0", "UPDATED", 100),
+                 row("r", "p1", None, 101, "delete"),
+                 row("r", "brand", "NEW", 102)],
+            ),
+            mode="mor",
+        )
+        assert m["mode"] == "mor" and m["rows"] == 3
+        assert os.path.isdir(f"{tmp_table_dir}.delta")
+        d = state_dict(st)
+        assert d[("r", "p0")] == ("UPDATED", 100)
+        assert ("r", "p1") not in d
+        assert d[("r", "brand")] == ("NEW", 102)
+        assert len(d) == 50  # 50 - 1 delete + 1 insert
+        # a FRESH instance folds identically (meta + delta reload)
+        st2 = StateTable(spark, tmp_table_dir, buckets=4)
+        assert state_dict(st2) == d
+        # content_sha256 is materialized in the delta (read path stays cheap)
+        import hashlib
+
+        shas = {
+            (r["repo"], r["path"]): r["content_sha256"]
+            for r in st2.read().collect()
+        }
+        assert shas[("r", "p0")] == hashlib.sha256(b"UPDATED").hexdigest()
+
+    def test_mor_reapply_idempotent(self, spark, tmp_table_dir):
+        """Crash-replay shape: the same batch appended twice (duplicate
+        delta files) folds to the same state — LWW collapses the
+        deterministic duplicates."""
+        st = StateTable(spark, tmp_table_dir, buckets=4)
+        st.merge(log_df(spark, seed_rows(20)))
+        batch = log_df(
+            spark,
+            [row("r", "p3", "X", 50), row("r", "p4", None, 51, "delete")],
+        )
+        st.merge(batch, mode="mor")
+        before = state_dict(st)
+        st.merge(batch, mode="mor")  # re-delivery / crash replay
+        assert state_dict(st) == before
+        assert st.audit_key_uniqueness() == 0
+
+    def test_auto_mode_cow_for_bulk_mor_for_churn(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=4)
+        m0 = st.merge(log_df(spark, seed_rows(1000)), batch_rows=1000)
+        assert m0["mode"] == "cow"  # fresh table
+        # comparable-size batch → still COW (rewrite amortizes)
+        m1 = st.merge(
+            log_df(spark, [row("r", f"p{i}", "u", 2000 + i) for i in range(800)]),
+            batch_rows=800,
+        )
+        assert m1["mode"] == "cow"
+        # 1% churn → MOR
+        m2 = st.merge(
+            log_df(spark, [row("r", f"p{i}", "w", 4000 + i) for i in range(10)]),
+            batch_rows=10,
+        )
+        assert m2["mode"] == "mor"
+        # no batch_rows hint → conservative COW
+        m3 = st.merge(log_df(spark, [row("r", "p1", "z", 9000)]))
+        assert m3["mode"] == "cow"
+
+    def test_small_churn_write_io_is_o_batch(self, spark, tmp_table_dir):
+        """The round-3 verdict's Done criterion: bytes written for a
+        small-churn batch ≪ corpus, even when the batch touches EVERY
+        bucket (uniform churn — the COW worst case that rewrote 100% of
+        the corpus to apply 1% of it)."""
+        st = StateTable(spark, tmp_table_dir, buckets=8)
+        st.merge(log_df(spark, seed_rows(8000)), batch_rows=8000)
+        base_bytes = st.health()["bytes"]
+        # 1% churn spread over all buckets
+        batch = [row("r", f"p{i*100}", "CHURN", 10_000 + i) for i in range(80)]
+        m = st.merge(log_df(spark, batch), batch_rows=80)
+        assert m["mode"] == "mor"
+        assert len(m["touched_buckets"]) == 8  # touches every bucket
+        assert m["bytes_written"] < 0.25 * base_bytes, (
+            m["bytes_written"],
+            base_bytes,
+        )
+        # and the fold is still exact
+        d = state_dict(st)
+        assert d[("r", "p0")] == ("CHURN", 10_000)
+        assert len(d) == 8000
+
+    def test_cow_batch_folds_touched_deltas(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=2)
+        st.merge(log_df(spark, seed_rows(100)))
+        st.merge(log_df(spark, [row("r", "p5", "D1", 200)]), mode="mor")
+        assert st.delta_bucket_ids()
+        # bulk batch touching everything → COW → deltas folded + cleared
+        m = st.merge(
+            log_df(spark, [row("r", f"p{i}", "B", 300 + i) for i in range(100)])
+        )
+        assert m["mode"] == "cow"
+        assert st.delta_bucket_ids() == []
+        assert not os.path.isdir(f"{tmp_table_dir}.delta")
+        d = state_dict(st)
+        assert d[("r", "p5")] == ("B", 305)
+        assert len(d) == 100
+
+    def test_compact_folds_deltas(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=2)
+        st.merge(log_df(spark, seed_rows(40)))
+        st.merge(
+            log_df(
+                spark,
+                [row("r", "p1", "U", 90), row("r", "p2", None, 91, "delete")],
+            ),
+            mode="mor",
+        )
+        before = state_dict(st)
+        res = st.compact()
+        assert res["compacted_buckets"] == 2
+        assert not os.path.isdir(f"{tmp_table_dir}.delta")
+        assert state_dict(st) == before
+        # row estimates refreshed to exact post-fold counts
+        assert sum(st._row_est.values()) == len(before)
+        # health sees a single file per bucket, no deltas
+        h = st.health()
+        assert h["max_files_per_bucket"] == 1 and h["delta_files"] == 0
+
+    def test_delta_file_cap_forces_folding_cow(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=1)
+        st.DELTA_FILES_CAP = 3
+        st.merge(log_df(spark, seed_rows(1000)), batch_rows=1000)
+        for k in range(3):
+            m = st.merge(
+                log_df(spark, [row("r", "p1", f"u{k}", 2000 + k)]), batch_rows=1
+            )
+            assert m["mode"] == "mor"
+        assert len(st.delta_file_counts()) == 1
+        m = st.merge(log_df(spark, [row("r", "p1", "u3", 2010)]), batch_rows=1)
+        assert m["mode"] == "cow"  # cap reached → fold
+        assert st.delta_bucket_ids() == []
+        assert state_dict(st)[("r", "p1")] == ("u3", 2010)
+
+    def test_rebucket_folds_and_clears_deltas(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=2)
+        st.merge(log_df(spark, seed_rows(60)))
+        st.merge(log_df(spark, [row("r", "p7", "R", 100)]), mode="mor")
+        before = state_dict(st)
+        res = st.rebucket(4)
+        assert res["rows"] == 60
+        assert not os.path.isdir(f"{tmp_table_dir}.delta")
+        assert state_dict(st) == before
+        assert sum(st._row_est.values()) == 60
+        st2 = StateTable(spark, tmp_table_dir, buckets=4)
+        assert state_dict(st2) == before
+
+    def test_mor_insert_into_brand_new_bucket(self, spark, tmp_table_dir):
+        """A MOR batch may create a bucket that has no base dir yet —
+        pruned reads of that bucket must fold base=∅ with the delta."""
+        st = StateTable(spark, tmp_table_dir, buckets=32)
+        st.merge(log_df(spark, [row("r", "a", "v", 1)]))  # 1 base bucket
+        m = st.merge(
+            log_df(spark, [row("r", f"n{i}", "NEW", 10 + i) for i in range(20)]),
+            mode="mor",
+        )
+        assert m["mode"] == "mor"
+        assert st.read().count() == 21
+        # pruned read of one of the fresh buckets
+        fresh = [b for b in st.delta_bucket_ids()][:1]
+        assert st.read_buckets(fresh).count() >= 1
+
+    def test_schema_evolution_across_mor_delta(self, spark, tmp_table_dir):
+        st = StateTable(spark, tmp_table_dir, buckets=2)
+        st.merge(log_df(spark, seed_rows(10)))
+        evolved = spark.createDataFrame(
+            [("r", "p0", "c1", "python", "EV", 99, "upsert", "main")],
+            LOG_SCHEMA + ", branch string",
+        )
+        m = st.merge(evolved, mode="mor")
+        assert m["mode"] == "mor"
+        out = {
+            (r["repo"], r["path"]): (r["content"], r["branch"])
+            for r in st.read().collect()
+        }
+        assert out[("r", "p0")] == ("EV", "main")
+        assert out[("r", "p1")] == ("v1", None)  # old base rows read NULL
+
+
+class TestEngineAutoMor:
+    def test_replay_small_tail_goes_mor_and_verifies(self, spark, tmp_path):
+        from rfb_cnpj_etl_spark.engine import CdcEngine
+        from rfb_cnpj_etl_spark.gen import (
+            expected_final_state,
+            synthesize_changelog,
+        )
+
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        log = synthesize_changelog(spark, 6000, n_repos=5, n_paths=400).cache()
+        eng = CdcEngine(spark, state, man)
+        # bulk seed: one big window → COW
+        e1 = eng.replay(log.filter(F.col("lsn") < 5900), batch_size=6000)
+        assert e1 and e1[0]["mode"] == "cow"
+        # small tail (≈100 events over ~5800 rows of state) → MOR
+        e2 = eng.replay(log, batch_size=6000)
+        assert e2 and e2[0]["mode"] == "mor", e2
+        assert eng.verify_against(expected_final_state(log))["ok"]
+        # resumed engine folds identically
+        eng2 = CdcEngine(spark, state, man)
+        assert eng2.verify_against(expected_final_state(log))["ok"]
+        assert eng2.state.audit_key_uniqueness() == 0
