@@ -76,7 +76,7 @@ def cmd_replay(args) -> int:
     if getattr(args, "minhash_index", None):
         from .operators.dedup import MinhashIndex
 
-        idx = MinhashIndex(eng.spark, args.minhash_index)
+        idx = MinhashIndex.open(eng.spark, args.minhash_index)
     maintenance = None
     if getattr(args, "maintain", False):
         from .engine import MaintenancePolicy
@@ -161,7 +161,7 @@ def cmd_maintain(args) -> int:
     if args.minhash_index:
         from .operators.dedup import MinhashIndex
 
-        idx = MinhashIndex(eng.spark, args.minhash_index)
+        idx = MinhashIndex.open(eng.spark, args.minhash_index)
     policy = MaintenancePolicy(
         max_files_per_bucket=args.max_files_per_bucket,
         auto_compact=not args.dry_run,

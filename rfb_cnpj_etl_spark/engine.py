@@ -389,7 +389,7 @@ class CdcEngine:
                         {"store": name, "action": "compact", **res}
                     )
                 elif what == "rebucket" and rebucketable and policy.auto_rebucket:
-                    res = self.state.rebucket(self.state.buckets * 2)
+                    res = store.rebucket(store.buckets * 2)
                     actions.append(
                         {"store": name, "action": "rebucket", **res}
                     )
@@ -405,8 +405,12 @@ class CdcEngine:
 
         run("state", self.state, rebucketable=True)
         if minhash_index is not None and policy.include_index:
-            run("index_sig", minhash_index.sig_store, rebucketable=False)
-            run("index_post", minhash_index.post_store, rebucketable=False)
+            # index stores migrate B through the generic store rebucket
+            # (id-keyed sig store, (band,bkey)-keyed posting store); the
+            # layout markers make the new counts self-describing on
+            # reopen, so the two can evolve independently.
+            run("index_sig", minhash_index.sig_store, rebucketable=True)
+            run("index_post", minhash_index.post_store, rebucketable=True)
 
         report: dict = {"actions": actions, "recommendations": recommendations}
         if actions:

@@ -555,18 +555,47 @@ class MinhashIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.hash_family = hash_family
+        #: fresh-store default only — each store's swapped-with-the-data
+        #: layout marker is the ground truth for its own B
+        #: (prefer_marker), so the two stores can be rebucketed
+        #: independently by maintenance and still reopen correctly.
         self.buckets = buckets
         import os
 
         os.makedirs(path, exist_ok=True)
         self.sig_store = BucketedParquetStore(
-            spark, os.path.join(path, "sig"), buckets
+            spark,
+            os.path.join(path, "sig"),
+            buckets,
+            bucket_keys=["id"],
+            prefer_marker=True,
         )
         self.post_store = BucketedParquetStore(
-            spark, os.path.join(path, "post"), buckets
+            spark,
+            os.path.join(path, "post"),
+            buckets,
+            bucket_keys=["band", "bkey"],
+            prefer_marker=True,
         )
         self._check_params_marker()
         self._recover_journal()
+
+    @classmethod
+    def open(cls, spark, path: str, **defaults) -> "MinhashIndex":
+        """Reopen an existing index with its RECORDED hash parameters
+        (``_index_meta.json``) — the stores' layout markers already
+        govern their bucket counts. ``defaults`` apply only to a fresh
+        index (no params marker yet). This is what the CLI uses so a
+        non-default index is resumable/maintainable without replaying
+        its parameters on the command line."""
+        import json
+        import os
+
+        marker = os.path.join(path, cls.PARAMS_FILE)
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                defaults = {**defaults, **json.load(f)}
+        return cls(spark, path, **defaults)
 
     PARAMS_FILE = "_index_meta.json"
 
@@ -660,14 +689,10 @@ class MinhashIndex:
         ).withColumnRenamed("bucket", "bkey")
 
     def _sig_bucket(self) -> Column:
-        from .store import key_bucket
-
-        return key_bucket(["id"], self.buckets)
+        return self.sig_store.bucket_col()
 
     def _post_bucket(self) -> Column:
-        from .store import key_bucket
-
-        return key_bucket(["band", "bkey"], self.buckets)
+        return self.post_store.bucket_col()
 
     @staticmethod
     def _distinct_buckets(df: DataFrame, bucket_col: Column) -> list[int]:
@@ -790,6 +815,8 @@ class MinhashIndex:
             "sig_touched_buckets": len(touched_sig),
             "post_touched_buckets": len(touched_post),
             "buckets": self.buckets,
+            "sig_buckets": self.sig_store.buckets,
+            "post_buckets": self.post_store.buckets,
             "sig_bytes_written": self._staged_bytes(sig_staging),
             "post_bytes_written": self._staged_bytes(post_staging),
         }

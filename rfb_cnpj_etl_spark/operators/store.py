@@ -82,6 +82,7 @@ class BucketedParquetStore:
         path: str,
         buckets: int = 32,
         bucket_keys: list[str] | None = None,
+        prefer_marker: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -94,11 +95,18 @@ class BucketedParquetStore:
         self._recover()
         marker = self.layout_buckets(path)
         if marker is not None and marker != self.buckets:
-            raise ValueError(
-                f"store at {path} is laid out with buckets={marker} "
-                f"(layout marker) but buckets={self.buckets} was requested; "
-                "construct with the marker value or run rebucket"
-            )
+            if prefer_marker:
+                # caller treats `buckets` as a fresh-store default and
+                # the swapped-with-the-data layout marker as the ground
+                # truth (e.g. reopening an index store after a rebucket)
+                self.buckets = marker
+            else:
+                raise ValueError(
+                    f"store at {path} is laid out with buckets={marker} "
+                    f"(layout marker) but buckets={self.buckets} was "
+                    "requested; construct with the marker value or run "
+                    "rebucket"
+                )
 
     def bucket_col(self, buckets: int | None = None) -> Column:
         """The store's bucket-assignment expression (under ``buckets``
@@ -125,7 +133,10 @@ class BucketedParquetStore:
             return int(json.load(f)["buckets"])
 
     def _meta_payload(self) -> dict:
-        return {"buckets": self.buckets}
+        payload: dict = {"buckets": self.buckets}
+        if self.bucket_keys is not None:
+            payload["bucket_keys"] = self.bucket_keys
+        return payload
 
     def _write_meta(self, into: str | None = None, buckets: int | None = None) -> None:
         """Write the layout marker (atomically) into the live dir — or
