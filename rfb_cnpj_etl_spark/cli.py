@@ -86,6 +86,7 @@ def cmd_replay(args) -> int:
         log,
         batch_size=args.batch_size,
         minhash_index=idx,
+        index_max_fanout=getattr(args, "index_max_fanout", None),
         maintenance=maintenance,
     )
     # nothing pending + never-created state table → report 0 rows, don't
@@ -215,6 +216,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="path of a MinHash index to maintain during the replay "
         "(near-dup pairs surface per batch in the manifest)",
+    )
+    sp.add_argument(
+        "--index-max-fanout",
+        type=int,
+        default=None,
+        help="skew cap for the index pair probe: posting lists larger "
+        "than this are excluded from candidate generation (viral "
+        "near-dup clusters; recall degrades gracefully via the other "
+        "bands). Default: exact",
     )
     sp.add_argument(
         "--maintain",

@@ -50,6 +50,11 @@ class MaintenancePolicy:
     auto_rebucket: bool = False
     #: also compact the attached MinHash index's sig/posting stores
     include_index: bool = True
+    #: keep only the newest N per-batch pair outputs under
+    #: ``{index}/pairs/`` — a long replay writes one dir per
+    #: micro-batch, and their counts already live in the manifest, so
+    #: old ones are re-derivable garbage. None = keep everything.
+    pairs_retention_batches: int | None = 16
 
     def plan(self, health: dict) -> list[str]:
         """Actions a store's health report calls for."""
@@ -142,6 +147,7 @@ class CdcEngine:
         touched: list[int] | None = None,
         minhash_index=None,
         index_threshold: float = 0.5,
+        index_max_fanout: int | None = None,
         batch_rows: int | None = None,
     ) -> dict:
         """Normalize → dedup → MERGE → (optional near-dup index update +
@@ -183,7 +189,10 @@ class CdcEngine:
         }
         if minhash_index is not None:
             entry.update(
-                self._update_index(minhash_index, batch, batch_id, index_threshold)
+                self._update_index(
+                    minhash_index, batch, batch_id, index_threshold,
+                    index_max_fanout,
+                )
             )
         return self.manifest.commit(entry)
 
@@ -192,7 +201,12 @@ class CdcEngine:
     _ID_SEP = "\x1f"
 
     def _update_index(
-        self, index, normalized_batch: DataFrame, batch_id: str, threshold: float
+        self,
+        index,
+        normalized_batch: DataFrame,
+        batch_id: str,
+        threshold: float,
+        max_fanout: int | None = None,
     ) -> dict:
         """Fold one (already normalized) micro-batch into the MinHash
         index and surface the near-dup pairs that become detectable with
@@ -212,18 +226,19 @@ class CdcEngine:
         deletes = winners.filter(F.col("op") == OP_DELETE).select(
             doc_id
         )
-        metrics, pairs = index.ingest(
+        pairs_path = f"{index.path}/pairs/batch={batch_id}"
+        metrics, _pairs = index.ingest(
             upserts,
             content_col="text",
             id_col="doc_id",
             deleted_ids=deletes,
             threshold=threshold,
+            pairs_out=pairs_path,
+            max_fanout=max_fanout,
         )
-        pairs_path = f"{index.path}/pairs/batch={batch_id}"
-        pairs.write.mode("overwrite").parquet(pairs_path)
-        n_pairs = self.spark.read.parquet(pairs_path).count()
         return {
-            "near_dup_pairs": int(n_pairs),
+            # count observed inside the pairs write — no re-read job
+            "near_dup_pairs": int(metrics["pairs"]),
             "pairs_path": pairs_path,
             "index_sig_buckets": metrics["sig_touched_buckets"],
             "index_post_buckets": metrics["post_touched_buckets"],
@@ -238,6 +253,7 @@ class CdcEngine:
         lsn_col: str = "lsn",
         minhash_index=None,
         index_threshold: float = 0.5,
+        index_max_fanout: int | None = None,
         maintenance: MaintenancePolicy | None = None,
     ) -> list[dict]:
         """Resumable replay: equal-width LSN windows above the manifest
@@ -331,6 +347,7 @@ class CdcEngine:
                     touched=sorted(buckets),
                     minhash_index=minhash_index,
                     index_threshold=index_threshold,
+                    index_max_fanout=index_max_fanout,
                     batch_rows=rows,
                 )
             )
@@ -411,6 +428,17 @@ class CdcEngine:
             # reopen, so the two can evolve independently.
             run("index_sig", minhash_index.sig_store, rebucketable=True)
             run("index_post", minhash_index.post_store, rebucketable=True)
+            pruned = self._prune_pair_outputs(
+                minhash_index, policy.pairs_retention_batches
+            )
+            if pruned:
+                actions.append(
+                    {
+                        "store": "index_pairs",
+                        "action": "prune",
+                        "removed_batch_dirs": pruned,
+                    }
+                )
 
         report: dict = {"actions": actions, "recommendations": recommendations}
         if actions:
@@ -427,6 +455,33 @@ class CdcEngine:
             )
             report["manifest_entry"] = entry
         return report
+
+    @staticmethod
+    def _prune_pair_outputs(index, retention: int | None) -> int:
+        """Drop all but the newest ``retention`` per-batch pair dirs
+        under ``{index}/pairs/`` (ordered by commit time — batch ids
+        are opaque here). Their counts are in the manifest and the data
+        is re-derivable from the index, so this is garbage collection,
+        not state loss."""
+        import os
+        import shutil
+
+        if retention is None:
+            return 0
+        root = os.path.join(index.path, "pairs")
+        if not os.path.isdir(root):
+            return 0
+        dirs = [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch=")
+        ]
+        dirs.sort(key=os.path.getmtime)
+        removed = 0
+        for d in dirs[: max(0, len(dirs) - retention)]:
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+        return removed
 
     # ------------------------------------------------------------------
 

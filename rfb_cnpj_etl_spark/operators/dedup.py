@@ -720,6 +720,8 @@ class MinhashIndex:
         deleted_ids: DataFrame | None = None,
         threshold: float = 0.5,
         compute_pairs: bool = True,
+        pairs_out: str | None = None,
+        max_fanout: int | None = None,
     ) -> tuple[dict, DataFrame | None]:
         """One index micro-batch: upsert ``docs``' signatures, drop
         ``deleted_ids``, and (optionally) return the near-dup pairs that
@@ -730,6 +732,14 @@ class MinhashIndex:
         staging and the pair probe. Idempotent: re-running after a crash
         converges to the same stores and the same pairs (LWW-free —
         rewrite semantics make the anti-join+union a fixed point).
+
+        The returned pairs are MATERIALIZED before this method returns:
+        written as parquet to ``pairs_out`` when given (the engine
+        passes its per-batch path; count observed inside the write),
+        else collected and re-parallelized. Either way the DataFrame
+        never lazily depends on store buckets a later ``ingest`` would
+        swap out from under it, so callers may defer collection.
+        ``metrics['pairs']`` carries the pair count with no extra job.
         """
         import json
         import os
@@ -743,8 +753,11 @@ class MinhashIndex:
         # num_hashes-min-lane aggregation subtree; measured at sf0.1
         # that re-planning dominated the whole ingest (~2× end-to-end).
         # Deterministic from the batch → recomputed identically on a
-        # crash-replay (idempotence unchanged).
-        snap = os.path.join(self.path, "_batch_sigs")
+        # crash-replay (idempotence unchanged). No leading "_" in the
+        # name: Spark's file index hides underscore-prefixed paths,
+        # which both WARNed and risked an empty read. Removed after the
+        # pair probe (the last consumer) below.
+        snap = os.path.join(self.path, "batch-sigs.tmp")
         self._sigs_of(docs, content_col, id_col).write.mode(
             "overwrite"
         ).parquet(snap)
@@ -851,7 +864,31 @@ class MinhashIndex:
 
         pairs = None
         if compute_pairs:
-            pairs = self._pairs_for(new_banded, threshold)
+            plan = self._pairs_for(new_banded, threshold, max_fanout)
+            if pairs_out is not None:
+                # engine path: pairs land at the caller's (per-batch,
+                # immutable) destination; count observed inside the
+                # write — no second job, and the returned frame reads
+                # files no later ingest will touch.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                plan.observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ).write.mode("overwrite").parquet(pairs_out)
+                metrics["pairs"] = int(obs.get["n"])
+                metrics["pairs_path"] = pairs_out
+                pairs = self.spark.read.parquet(pairs_out)
+            else:
+                # convenience path: pin the (batch-sized, small) pair
+                # set on the driver so the returned frame stays valid
+                # after later ingests swap the live buckets.
+                rows = plan.collect()
+                metrics["pairs"] = len(rows)
+                pairs = self.spark.createDataFrame(rows, plan.schema)
+        # last consumer of the signature snapshot has run — drop it so a
+        # long replay doesn't keep one stale snapshot per index forever
+        shutil.rmtree(snap, ignore_errors=True)
         return metrics, pairs
 
     def update(
@@ -871,13 +908,66 @@ class MinhashIndex:
 
     # -- read path -------------------------------------------------------
 
-    def _pairs_for(self, new_banded: DataFrame, threshold: float) -> DataFrame:
+    def posting_skew(self, top_n: int = 20) -> DataFrame:
+        """Diagnostic: the hottest posting keys — ``(band, bkey,
+        n_ids)`` for the ``top_n`` largest posting lists. A posting
+        list of C ids yields O(C²) candidate pairs in the band join, so
+        at 100 TB one viral near-dup cluster (boilerplate licences,
+        vendored files) can dominate the whole probe; this report is
+        how an operator finds those keys and picks a ``max_fanout``.
+        Full posting scan (aggregation only — the shuffle carries one
+        int per key), so run it as maintenance, not per batch."""
+        return (
+            self.post_store.read()
+            .groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n_ids"))
+            .orderBy(F.desc("n_ids"), "band", "bkey")
+            .limit(top_n)
+        )
+
+    def _pairs_for(
+        self,
+        new_banded: DataFrame,
+        threshold: float,
+        max_fanout: int | None = None,
+    ) -> DataFrame:
         """Band-bucket join of the new side against ONLY the posting
-        partitions its keys hash to (partition-pruned index lookup)."""
+        partitions its keys hash to (partition-pruned index lookup).
+
+        ``max_fanout`` bounds the join blowup: posting keys whose
+        stored list exceeds it are excluded from candidate generation
+        (the skew cap — same role as ``max_df`` in the n-gram Jaccard
+        path). Members of such a hot cluster still pair through their
+        OTHER, colder band keys, so recall degrades gracefully; with
+        ``bands`` independent chances a pair is only lost when every
+        one of its shared keys is viral. Default None = exact."""
+        if not self.post_store.exists():
+            # e.g. the very first batch held only deletes → the posting
+            # store exists as a dir but has no bucket data; a pruned
+            # read would have no schema to infer. Typed-empty result
+            # (id types follow the caller's id column).
+            return new_banded.select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0.0).alias("est_jaccard"),
+            ).limit(0)
         touched = self._distinct_buckets(
             new_banded.select("band", "bkey"), self._post_bucket()
         )
         index_side = self.post_store.read_buckets(touched)
+        if max_fanout is not None:
+            # few keys breach the cap by construction → broadcast the
+            # hot-key list into an anti-join; counted over the SAME
+            # pruned buckets the probe reads, no extra partitions.
+            hot = (
+                index_side.groupBy("band", "bkey")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > max_fanout)
+                .select("band", "bkey")
+            )
+            index_side = index_side.join(
+                F.broadcast(hot), ["band", "bkey"], "left_anti"
+            )
         cand = (
             new_banded.alias("a")
             .join(index_side.alias("b"), ["band", "bkey"])
@@ -914,14 +1004,16 @@ class MinhashIndex:
         content_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.5,
+        max_fanout: int | None = None,
     ) -> DataFrame:
         """Candidate near-dup pairs touching at least one NEW document:
         pruned band join of the new side against the posting store
         (which must already include the new docs via ``update``/
         ``ingest``). Old×old pairs are never rebuilt; new×new pairs come
-        out once (id_a < id_b)."""
+        out once (id_a < id_b). ``max_fanout`` caps hot posting lists —
+        see :meth:`_pairs_for`."""
         new_banded = self._banded(self._sigs_of(new_docs, content_col, id_col))
-        return self._pairs_for(new_banded, threshold)
+        return self._pairs_for(new_banded, threshold, max_fanout)
 
 
 def simhash_table(

@@ -657,7 +657,12 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, k=3, num_hashes=16, bands=4, hash_family="md5", buckets=8
     )
     idx.update(old, "text", "doc_id")
+    # without pairs_out, ingest returns a driver-pinned frame — no lazy
+    # dependency on the work dir, so it can be removed NOW instead of
+    # leaking one mh_inc_idx_* tree per run (the caller may collect the
+    # returned frame long after this function exits)
     _, pairs = idx.ingest(new, "text", "doc_id", threshold=0.5)
+    shutil.rmtree(path, ignore_errors=True)
     return pairs
 
 

@@ -478,3 +478,149 @@ class TestEngineAutoMor:
         eng2 = CdcEngine(spark, state, man)
         assert eng2.verify_against(expected_final_state(log))["ok"]
         assert eng2.state.audit_key_uniqueness() == 0
+
+
+class TestIngestHygiene:
+    """ADVICE r3: pairs materialization, snapshot cleanup, empty-store
+    guard, pairs-dir retention, query temp-dir cleanup."""
+
+    def _pairs_set(self, df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    def test_pairs_survive_next_ingest(self, spark, tmp_path):
+        """The returned pairs frame is a materialized snapshot — a later
+        ingest (which swaps the live buckets) must not change or break
+        it when the caller defers collection."""
+        path = str(tmp_path / "idx")
+        idx = MinhashIndex(spark, path, k=2, num_hashes=16, bands=4, buckets=4)
+        idx.update(docs_df(spark, [("a", BASE_TEXT)]), "text", "doc_id")
+        m1, pairs1 = idx.ingest(
+            docs_df(spark, [("b", BASE_TEXT + " tonight")]),
+            "text", "doc_id", threshold=0.4,
+        )
+        expected = {("a", "b")}
+        # second ingest swaps buckets and overwrites last-pairs
+        m2, pairs2 = idx.ingest(
+            docs_df(spark, [("c", OTHER_TEXT)]), "text", "doc_id", threshold=0.4
+        )
+        assert self._pairs_set(pairs1) == expected  # deferred collect OK
+        assert self._pairs_set(pairs2) == set()
+        assert m1["pairs"] == 1 and m2["pairs"] == 0  # observed in-write
+
+    def test_pairs_out_lands_at_destination(self, spark, tmp_path):
+        path = str(tmp_path / "idx")
+        dest = str(tmp_path / "out" / "pairs_b1")
+        idx = MinhashIndex(spark, path, k=2, num_hashes=16, bands=4, buckets=4)
+        idx.update(docs_df(spark, [("a", BASE_TEXT)]), "text", "doc_id")
+        m, _ = idx.ingest(
+            docs_df(spark, [("b", BASE_TEXT + " tonight")]),
+            "text", "doc_id", threshold=0.4, pairs_out=dest,
+        )
+        assert m["pairs_path"] == dest
+        assert self._pairs_set(spark.read.parquet(dest)) == {("a", "b")}
+
+    def test_snapshot_cleaned_after_ingest(self, spark, tmp_path):
+        path = str(tmp_path / "idx")
+        idx = MinhashIndex(spark, path, k=2, num_hashes=16, bands=4, buckets=4)
+        idx.update(docs_df(spark, [("a", BASE_TEXT)]), "text", "doc_id")
+        idx.ingest(docs_df(spark, [("b", OTHER_TEXT)]), "text", "doc_id")
+        leftovers = [
+            d for d in os.listdir(path) if "sigs" in d or d.startswith("_batch")
+        ]
+        assert leftovers == []
+
+    def test_first_batch_only_deletes_is_safe(self, spark, tmp_path):
+        """ADVICE: an index whose FIRST batch is deletes-only used to
+        crash the pair probe on the empty posting store."""
+        path = str(tmp_path / "idx")
+        idx = MinhashIndex(spark, path, k=2, num_hashes=16, bands=4, buckets=4)
+        empty = docs_df(spark, []).select("doc_id", "text")
+        dels = spark.createDataFrame([("ghost",)], "doc_id string")
+        m, pairs = idx.ingest(empty, "text", "doc_id", deleted_ids=dels)
+        assert m["pairs"] == 0
+        assert pairs.count() == 0
+        # index still works afterwards
+        idx.update(docs_df(spark, [("a", BASE_TEXT)]), "text", "doc_id")
+        got = idx.incremental_pairs(
+            docs_df(spark, [("b", BASE_TEXT + " tonight")]), threshold=0.4
+        )
+        # b not ingested → probe-only path; a is the stored neighbour
+        assert {r["id_b"] for r in got.collect()} <= {"a", "b"}
+
+    def test_maintain_prunes_pair_dirs(self, spark, tmp_path):
+        from rfb_cnpj_etl_spark.engine import CdcEngine, MaintenancePolicy
+
+        eng = CdcEngine(spark, str(tmp_path / "state"), str(tmp_path / "m.jsonl"))
+        idx = MinhashIndex(
+            spark, str(tmp_path / "mh"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        rows = [row("r", f"p{i}", BASE_TEXT + f" v{i}", i) for i in range(6)]
+        eng.replay(log_df(spark, rows), batch_size=1,
+                   minhash_index=idx, index_threshold=0.9)
+        pairs_root = os.path.join(idx.path, "pairs")
+        assert len(os.listdir(pairs_root)) == 6
+        policy = MaintenancePolicy(
+            max_files_per_bucket=10_000, pairs_retention_batches=2
+        )
+        report = eng.maintain(policy, minhash_index=idx)
+        assert len(os.listdir(pairs_root)) == 2
+        pruned = [a for a in report["actions"] if a["action"] == "prune"]
+        assert pruned and pruned[0]["removed_batch_dirs"] == 4
+
+    def test_query_cleans_work_dir(self, spark):
+        import glob
+
+        from rfb_cnpj_etl_spark.plans import queries as Q
+
+        before = set(glob.glob("/dev/shm/mh_inc_idx_*")) | set(
+            glob.glob(os.path.join(tempfile.gettempdir(), "mh_inc_idx_*"))
+        )
+        out = Q.minhash_incremental(spark, "/root/testdata/sf0.001")
+        assert out.count() >= 0
+        after = set(glob.glob("/dev/shm/mh_inc_idx_*")) | set(
+            glob.glob(os.path.join(tempfile.gettempdir(), "mh_inc_idx_*"))
+        )
+        assert after <= before  # no new leaked work dirs
+
+
+class TestPostingSkew:
+    """Posting-store skew report + bounded-fanout cap (the LSH analog
+    of the n-gram path's max_df): a viral near-dup cluster of C docs
+    makes O(C²) candidates through every shared band key."""
+
+    def _cluster(self, n):
+        # n docs identical except a numeric tail → MinHash signatures
+        # collide on most lanes, so every band key is shared by ~all n
+        return [(f"d{i}", BASE_TEXT) for i in range(n)] + [
+            ("z", OTHER_TEXT),
+            ("z2", OTHER_TEXT + " tonight"),
+        ]
+
+    def test_skew_report_surfaces_hot_keys(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        idx.update(docs_df(spark, self._cluster(12)), "text", "doc_id")
+        top = idx.posting_skew(top_n=5).collect()
+        assert top and top[0]["n_ids"] == 12  # identical docs: full pile-up
+        assert top[0]["n_ids"] >= top[-1]["n_ids"]  # sorted hottest-first
+
+    def test_max_fanout_caps_pair_blowup(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        idx.update(docs_df(spark, self._cluster(12)), "text", "doc_id")
+        probe = docs_df(spark, [("d0", BASE_TEXT)])
+        exact = idx.incremental_pairs(probe, threshold=0.4)
+        capped = idx.incremental_pairs(probe, threshold=0.4, max_fanout=5)
+        assert exact.count() == 11  # d0 × {d1..d11}
+        assert capped.count() == 0  # every band key of the cluster breached
+        # a cold pair (posting lists of size ~2) is unaffected by the cap
+        probe2 = docs_df(spark, [("z2", OTHER_TEXT + " tonight")])
+        cold = {
+            (r["id_a"], r["id_b"])
+            for r in idx.incremental_pairs(
+                probe2, threshold=0.4, max_fanout=5
+            ).collect()
+        }
+        assert ("z", "z2") in cold
