@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # CDC family (SURVEY §2.4 M1/M2 + replay semantics)
         "cdc_final_state": Q.cdc_final_state,
+        "cdc_mor_replay": Q.cdc_mor_replay,
         "cdc_first_writer_wins": Q.cdc_first_writer_wins,
         "cdc_prioritized_dedup": Q.cdc_prioritized_dedup,
         "cdc_repo_stats": Q.cdc_repo_stats,
@@ -303,6 +304,19 @@ _DOC_FEATURES_SQL = r"""
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": f"""
+            WITH log AS ({_LOG}),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log
+            )
+            SELECT repo, path, "commit", lang, content, lsn,
+                   sha256(content) AS content_sha256
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # the engine replay (bulk COW window + merge-on-read churn tail
+        # through the bucketed state table) must land on the SAME final
+        # state as the plain LWW dedup — the fold is the thing under test
+        "cdc_mor_replay": f"""
             WITH log AS ({_LOG}),
             ranked AS (
               SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn

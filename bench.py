@@ -91,6 +91,20 @@ def load_prev_bench() -> dict[str, float]:
     return best[1] if best else {}
 
 
+def cpu_calibration() -> float:
+    """Seconds for a fixed single-thread pure-Python spin. This VM's
+    effective CPU supply swings 2.7-6x with host tenancy (BASELINE.md);
+    sampling the same fixed work before/mid/after the run lets a reader
+    separate engine changes from host weather when comparing rounds
+    (r4 example: cdc_bulk_replay measured 22s cold under a bad window
+    and 4.6-11s warm minutes later with no code change)."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.time() - t0, 3)
+
+
 def get_session():
     from rfb_cnpj_etl_spark.session import get_spark
 
@@ -125,30 +139,53 @@ def time_replay(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def time_bulk_replay(spark, n_events: int = 2_000_000) -> dict:
+def time_bulk_replay(
+    spark,
+    n_events: int = 2_000_000,
+    churn_events: int = 100_000,
+    churn_batches: int = 10,
+) -> dict:
     """Engine throughput at a production-shaped batch size: one batch of
     a seeded 2M-event changelog (at the nominal 10^10 scale a micro-
     batch is >=10^8 rows, so per-batch fixed cost is noise there — the
     4-batch sf0.1 replay above measures the micro-batching overhead
-    instead)."""
+    instead). Then, on the SAME warm state table, a steady-state churn
+    phase: ``churn_batches`` small windows that auto-select the
+    merge-on-read path (per-bucket delta appends, O(batch) write I/O) —
+    the small-daily-delta shape that used to rewrite the whole corpus
+    per batch under pure copy-on-write."""
     from rfb_cnpj_etl_spark.engine import CdcEngine
     from rfb_cnpj_etl_spark.gen import synthesize_changelog
 
     tmp = _work_dir("bench_bulk_")
     try:
         synthesize_changelog(
-            spark, n_events, n_repos=200, n_paths=5000,
+            spark, n_events + churn_events, n_repos=200, n_paths=5000,
             delete_ratio=0.1, hot_repo_fraction=0.1, partitions=64,
         ).write.mode("overwrite").parquet(f"{tmp}/log")
+        from pyspark.sql import functions as F
+
         log = spark.read.parquet(f"{tmp}/log")
         eng = CdcEngine(spark, f"{tmp}/state", f"{tmp}/manifest.jsonl")
         t0 = time.time()
-        eng.replay(log, batch_size=n_events)
+        eng.replay(log.filter(F.col("lsn") < n_events), batch_size=n_events)
         dt = time.time() - t0
+        t1 = time.time()
+        entries = eng.replay(
+            log, batch_size=max(churn_events // churn_batches, 1)
+        )
+        churn_dt = time.time() - t1
         return {
             "events": n_events,
             "seconds": round(dt, 3),
             "events_per_sec": round(n_events / dt, 1),
+            "churn_events": churn_events,
+            "churn_seconds": round(churn_dt, 3),
+            "churn_events_per_sec": round(churn_events / churn_dt, 1),
+            "churn_mor_windows": sum(
+                1 for e in entries if e.get("mode") == "mor"
+            ),
+            "churn_windows": len(entries),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -156,6 +193,7 @@ def time_bulk_replay(spark, n_events: int = 2_000_000) -> dict:
 
 def main() -> None:
     replay_only = "--replay-only" in sys.argv
+    calib = [cpu_calibration()]
     spark = get_session()
     if replay_only:
         print(json.dumps({"cores": CPUS, **time_replay(spark, SF_DIR)}))
@@ -193,12 +231,16 @@ def main() -> None:
             reps.append(round(time.time() - t0, 3))
         watchlist[name] = reps
 
+    calib.append(cpu_calibration())
     replay = time_replay(spark, SF_DIR)
     times["cdc_replay"] = replay["seconds"]
     total += replay["seconds"]
     bulk = time_bulk_replay(spark)
     times["cdc_bulk_replay"] = bulk["seconds"]
     total += bulk["seconds"]
+    times["cdc_churn_replay"] = bulk["churn_seconds"]
+    total += bulk["churn_seconds"]
+    calib.append(cpu_calibration())
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -224,7 +266,12 @@ def main() -> None:
                 "cdc_events_per_sec": replay["events_per_sec"],
                 "cdc_bulk_events": bulk["events"],
                 "cdc_bulk_events_per_sec": bulk["events_per_sec"],
+                "cdc_churn_events": bulk["churn_events"],
+                "cdc_churn_events_per_sec": bulk["churn_events_per_sec"],
+                "cdc_churn_mor_windows": bulk["churn_mor_windows"],
+                "cdc_churn_windows": bulk["churn_windows"],
                 "replay_work_area": "tmpfs" if WORK_AREA else "disk",
+                "cpu_calib_s": calib,
             }
         )
     )

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..schema import OP_DELETE
+from ..schema import OP_DELETE, OP_UPSERT
+from .store import BucketedParquetStore
 
 # ---------------------------------------------------------------------------
 # CDC dedup
@@ -494,6 +495,95 @@ def simhash_bits(hash_family: str) -> int:
     return 60 if hash_family == "md5" else 64
 
 
+class _LwwIndexStore(BucketedParquetStore):
+    """Bucketed parquet store whose merge-on-read fold is LWW by
+    ``fold_keys`` over a per-ingest sequence column with delete
+    tombstones — the index-store twin of ``StateTable``'s delta fold
+    (operators/merge.py)."""
+
+    #: delta-vintage sequence, persisted in base rows too so a stale
+    #: (crash-window) delta can never outrank a base row that already
+    #: folded it — the base always carries a seq ≥ any delta row it
+    #: absorbed.
+    SEQ_COL = "iseq"
+    OP_COL = "iop"
+
+    def __init__(self, spark, path, buckets, bucket_keys, fold_keys):
+        self.fold_keys = fold_keys
+        self._row_est: dict[int, int] = {}
+        self._next_seq = 0
+        super().__init__(
+            spark, path, buckets, bucket_keys=bucket_keys, prefer_marker=True
+        )
+        self._load_lww_meta()
+
+    # -- meta: row estimates + seq counter ride the layout marker ------
+
+    def _load_lww_meta(self) -> None:
+        import json as _json
+        import os as _os
+
+        meta = _os.path.join(self.path, self.META_FILE)
+        if not _os.path.exists(meta):
+            return
+        with open(meta, encoding="utf-8") as f:
+            raw = _json.load(f)
+        self._row_est = {
+            int(k): int(v) for k, v in (raw.get("row_est") or {}).items()
+        }
+        self._next_seq = int(raw.get("next_seq", 0))
+
+    def _meta_payload(self) -> dict:
+        p = super()._meta_payload()
+        p["row_est"] = {str(b): n for b, n in self._row_est.items()}
+        # seq lives in the BASE marker, not the delta marker: the delta
+        # root is dropped on rebucket/compact and the counter must stay
+        # monotonic across those (a reset would let old base rows
+        # outrank fresh deltas).
+        p["next_seq"] = self._next_seq
+        return p
+
+    def allocate_seq(self) -> int:
+        """Next delta-vintage sequence (persisted before use; a crash
+        after the bump burns a number, which is harmless)."""
+        import os as _os
+
+        seq = self._next_seq
+        self._next_seq = seq + 1
+        _os.makedirs(self.path, exist_ok=True)
+        self._write_meta()
+        return seq
+
+    def with_seq(self, df: DataFrame, default: int = -1) -> DataFrame:
+        """Guarantee a non-NULL seq column (legacy rows and raw pre-seq
+        base files read as ``default``)."""
+        if self.SEQ_COL not in df.columns:
+            return df.withColumn(self.SEQ_COL, F.lit(default).cast("long"))
+        return df.withColumn(
+            self.SEQ_COL,
+            F.coalesce(
+                F.col(self.SEQ_COL).cast("long"), F.lit(default).cast("long")
+            ),
+        )
+
+    # -- merge-on-read fold --------------------------------------------
+
+    def _fold_delta(self, base, delta):
+        if base is not None:
+            merged = (
+                self.with_seq(base)
+                .withColumn(self.OP_COL, F.lit(OP_UPSERT))
+                .unionByName(delta, allowMissingColumns=True)
+            )
+        else:
+            merged = delta
+        folded = last_writer_wins_agg(
+            merged, self.fold_keys, self.SEQ_COL, self.OP_COL
+        )
+        # seq stays in the rows (see SEQ_COL note); only op drops
+        return folded.filter(F.col(self.OP_COL) != OP_DELETE).drop(self.OP_COL)
+
+
 class MinhashIndex:
     """Incrementally maintained MinHash index — near-dup detection as
     part of ingest, not as a periodic full recompute.
@@ -547,8 +637,6 @@ class MinhashIndex:
         buckets: int = 64,
     ) -> None:
         assert num_hashes % bands == 0
-        from .store import BucketedParquetStore
-
         self.spark = spark
         self.path = path
         self.k = k
@@ -563,19 +651,19 @@ class MinhashIndex:
         import os
 
         os.makedirs(path, exist_ok=True)
-        self.sig_store = BucketedParquetStore(
+        self.sig_store = _LwwIndexStore(
             spark,
             os.path.join(path, "sig"),
             buckets,
             bucket_keys=["id"],
-            prefer_marker=True,
+            fold_keys=["id"],
         )
-        self.post_store = BucketedParquetStore(
+        self.post_store = _LwwIndexStore(
             spark,
             os.path.join(path, "post"),
             buckets,
             bucket_keys=["band", "bkey"],
-            prefer_marker=True,
+            fold_keys=["band", "bkey", "id"],
         )
         self._check_params_marker()
         self._recover_journal()
@@ -712,6 +800,14 @@ class MinhashIndex:
 
     # -- write path ------------------------------------------------------
 
+    #: auto ingest mode appends deltas iff the batch's changed ids are
+    #: ≤ ratio × (estimated rows in the touched sig buckets) — the same
+    #: knob as StateTable.MOR_ROW_RATIO.
+    MOR_ROW_RATIO = 0.25
+    #: a bucket already holding this many delta files forces a folding
+    #: COW ingest (bounds what every read must merge).
+    DELTA_FILES_CAP = 32
+
     def ingest(
         self,
         docs: DataFrame,
@@ -722,28 +818,54 @@ class MinhashIndex:
         compute_pairs: bool = True,
         pairs_out: str | None = None,
         max_fanout: int | None = None,
+        mode: str = "auto",
     ) -> tuple[dict, DataFrame | None]:
         """One index micro-batch: upsert ``docs``' signatures, drop
         ``deleted_ids``, and (optionally) return the near-dup pairs that
         become detectable with this batch (pairs touching ≥1 new doc).
 
         Returns ``(metrics, pairs_df_or_None)``. Signatures are computed
-        ONCE for the batch and shared by the sig staging, the posting
-        staging and the pair probe. Idempotent: re-running after a crash
-        converges to the same stores and the same pairs (LWW-free —
-        rewrite semantics make the anti-join+union a fixed point).
+        ONCE for the batch and shared by the store updates and the pair
+        probe. Idempotent: re-running after a crash converges to the
+        same stores and the same pairs.
+
+        ``mode`` picks the write strategy per batch (the state table's
+        COW/MOR split, operators/merge.py, applied to the index):
+
+        * ``"cow"`` — rewrite the touched buckets whole (bulk path;
+          anti-join + union is a fixed point, so replays converge).
+        * ``"mor"`` — append the batch as per-bucket DELTA files —
+          upserts plus delete tombstones for removed ids and vacated
+          band keys — O(batch) write I/O with no base rewrite; reads
+          fold base + deltas by (key, ingest-seq) LWW. This is the
+          steady-state small-churn path: a COW batch of uniformly
+          spread ids over any B touches every bucket and rewrites the
+          whole index to apply a sliver of it.
+        * ``"auto"`` — MOR iff the batch is small relative to the
+          touched sig buckets' row estimates and no bucket has hit the
+          delta-file cap.
+
+        MOR crash ordering: the posting delta is appended BEFORE the
+        signature delta. Vacated-key tombstones are derived from the
+        CURRENT stored signatures, so they are only reproducible on a
+        crash-replay while the sig store still holds the pre-batch
+        rows; appends themselves are redo-idempotent (a replay appends
+        the same logical rows under a fresh seq and the fold keeps the
+        newer, identical content).
 
         The returned pairs are MATERIALIZED before this method returns:
         written as parquet to ``pairs_out`` when given (the engine
         passes its per-batch path; count observed inside the write),
         else collected and re-parallelized. Either way the DataFrame
         never lazily depends on store buckets a later ``ingest`` would
-        swap out from under it, so callers may defer collection.
-        ``metrics['pairs']`` carries the pair count with no extra job.
+        rewrite, so callers may defer collection. ``metrics['pairs']``
+        carries the pair count with no extra job.
         """
-        import json
         import os
         import shutil
+
+        if mode not in ("auto", "cow", "mor"):
+            raise ValueError(f"unknown ingest mode {mode!r}")
 
         # Materialize the batch signatures ONCE (tiny parquet: ~128 B
         # per doc). Five downstream actions (two touched-bucket
@@ -762,19 +884,130 @@ class MinhashIndex:
             "overwrite"
         ).parquet(snap)
         new_sigs = self.spark.read.parquet(snap)
+        deleted = None
         changed = new_sigs.select("id")
         if deleted_ids is not None:
             dcol = deleted_ids.columns[0]
-            changed = changed.unionByName(
-                deleted_ids.select(F.col(dcol).alias("id"))
-            ).distinct()
+            deleted = deleted_ids.select(F.col(dcol).alias("id"))
+            changed = changed.unionByName(deleted).distinct()
+        touched_sig = self._distinct_buckets(changed, self._sig_bucket())
+
+        if self._resolve_ingest_mode(mode, changed, touched_sig) == "mor":
+            metrics, new_banded = self._ingest_mor(
+                new_sigs, changed, deleted, touched_sig
+            )
+        else:
+            metrics, new_banded = self._ingest_cow(
+                new_sigs, changed, touched_sig
+            )
+
+        pairs = None
+        if compute_pairs:
+            plan = self._pairs_for(new_banded, threshold, max_fanout)
+            if pairs_out is not None:
+                # engine path: pairs land at the caller's (per-batch,
+                # immutable) destination; count observed inside the
+                # write — no second job, and the returned frame reads
+                # files no later ingest will touch.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                plan.observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ).write.mode("overwrite").parquet(pairs_out)
+                metrics["pairs"] = int(obs.get["n"])
+                metrics["pairs_path"] = pairs_out
+                pairs = self.spark.read.parquet(pairs_out)
+            else:
+                # convenience path: pin the (batch-sized, small) pair
+                # set on the driver so the returned frame stays valid
+                # after later ingests rewrite the live buckets.
+                rows = plan.collect()
+                metrics["pairs"] = len(rows)
+                pairs = self.spark.createDataFrame(rows, plan.schema)
+        # last consumer of the signature snapshot has run — drop it so a
+        # long replay doesn't keep one stale snapshot per index forever
+        shutil.rmtree(snap, ignore_errors=True)
+        return metrics, pairs
+
+    def _resolve_ingest_mode(
+        self, mode: str, changed: DataFrame, touched_sig: list[int]
+    ) -> str:
+        """COW vs MOR for one index batch (StateTable._resolve_mode's
+        twin). Auto = MOR iff the sig store exists, every touched
+        bucket has a row estimate, the batch is small relative to them,
+        and no bucket of either store has hit the delta-file cap."""
+        if mode == "cow" or not self.sig_store.exists():
+            return "cow"
+        if mode == "mor":
+            return "mor"
+        if not touched_sig:
+            return "cow"
+        est = [self.sig_store._row_est.get(b) for b in touched_sig]
+        if any(e is None for e in est):
+            return "cow"  # untracked layout (legacy store) → populate via COW
+        total = sum(est)
+        if total == 0 or changed.count() > self.MOR_ROW_RATIO * total:
+            return "cow"
+        for store in (self.sig_store, self.post_store):
+            if any(
+                v >= self.DELTA_FILES_CAP
+                for v in store.delta_file_counts().values()
+            ):
+                return "cow"
+        return "mor"
+
+    @staticmethod
+    def _staged_rows(staging: str) -> dict[int, int]:
+        """Row counts per staged bucket, footer-only (pyarrow metadata
+        — no Spark job); feeds the sig store's row estimates."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        if not os.path.isdir(staging):
+            return out
+        for d in os.listdir(staging):
+            if not d.startswith("bucket="):
+                continue
+            bd = os.path.join(staging, d)
+            n = 0
+            for fname in os.listdir(bd):
+                if fname.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(bd, fname)
+                    ).metadata.num_rows
+            out[int(d.split("=", 1)[1])] = n
+        return out
+
+    def _ingest_cow(
+        self,
+        new_sigs: DataFrame,
+        changed: DataFrame,
+        touched_sig: list[int],
+    ) -> tuple[dict, DataFrame]:
+        """Copy-on-write ingest: rewrite the touched buckets of both
+        stores (staged, journaled, swapped atomically). Stale postings
+        are anti-joined away via the changed ids' CURRENT band keys —
+        no tombstones survive a COW bucket. Touched deltas are folded
+        by the staging read and their files cleared after the swap."""
+        import json
+        import os
+        import shutil
+
+        SEQ = _LwwIndexStore.SEQ_COL
+        seq_sig = self.sig_store.allocate_seq()
+        seq_post = self.post_store.allocate_seq()
 
         # ---- stage the signature store (id-bucket pruned) --------------
-        sig_bucket = self._sig_bucket()
-        touched_sig = self._distinct_buckets(changed, sig_bucket)
-        new_with_bucket = new_sigs.withColumn("bucket", sig_bucket)
+        new_with_bucket = new_sigs.withColumn(
+            "bucket", self._sig_bucket()
+        ).withColumn(SEQ, F.lit(seq_sig).cast("long"))
         if self.sig_store.exists():
-            cur = self.sig_store.read_buckets(touched_sig)
+            cur = self.sig_store.with_seq(
+                self.sig_store.read_buckets(touched_sig)
+            )
             old_changed = cur.join(changed, "id", "leftsemi").select("id", "sig")
             merged_sig = cur.join(changed, "id", "left_anti").unionByName(
                 new_with_bucket
@@ -805,9 +1038,13 @@ class MinhashIndex:
             ),
             post_bucket,
         )
-        new_post = new_banded.withColumn("bucket", post_bucket)
+        new_post = new_banded.withColumn("bucket", post_bucket).withColumn(
+            SEQ, F.lit(seq_post).cast("long")
+        )
         if self.post_store.exists():
-            cur_post = self.post_store.read_buckets(touched_post)
+            cur_post = self.post_store.with_seq(
+                self.post_store.read_buckets(touched_post)
+            )
             merged_post = cur_post.join(changed, "id", "left_anti").unionByName(
                 new_post
             )
@@ -825,6 +1062,7 @@ class MinhashIndex:
             )
 
         metrics = {
+            "mode": "cow",
             "sig_touched_buckets": len(touched_sig),
             "post_touched_buckets": len(touched_post),
             "buckets": self.buckets,
@@ -833,6 +1071,13 @@ class MinhashIndex:
             "sig_bytes_written": self._staged_bytes(sig_staging),
             "post_bytes_written": self._staged_bytes(post_staging),
         }
+
+        # exact row estimates for the rewritten buckets (advisory — the
+        # auto COW/MOR decision only; swap_buckets persists them with
+        # the layout marker it writes anyway)
+        sig_rows = self._staged_rows(sig_staging)
+        for b in touched_sig:
+            self.sig_store._row_est[b] = sig_rows.get(b, 0)
 
         # ---- journal, then swap both stores ----------------------------
         journal = {
@@ -858,38 +1103,128 @@ class MinhashIndex:
         os.replace(tmp, jp)
         self.sig_store.swap_buckets(sig_staging, touched_sig)
         self.post_store.swap_buckets(post_staging, touched_post)
+        # touched deltas were folded into the rewritten base by the
+        # staging reads; drop their files (a crash before this leaves
+        # already-folded rows that lose the seq-LWW to the base)
+        self.sig_store.clear_delta_buckets(touched_sig)
+        self.post_store.clear_delta_buckets(touched_post)
         os.remove(jp)
         shutil.rmtree(sig_staging, ignore_errors=True)
         shutil.rmtree(post_staging, ignore_errors=True)
+        return metrics, new_banded
 
-        pairs = None
-        if compute_pairs:
-            plan = self._pairs_for(new_banded, threshold, max_fanout)
-            if pairs_out is not None:
-                # engine path: pairs land at the caller's (per-batch,
-                # immutable) destination; count observed inside the
-                # write — no second job, and the returned frame reads
-                # files no later ingest will touch.
-                from pyspark.sql import Observation
+    def _ingest_mor(
+        self,
+        new_sigs: DataFrame,
+        changed: DataFrame,
+        deleted: DataFrame | None,
+        touched_sig: list[int],
+    ) -> tuple[dict, DataFrame]:
+        """Merge-on-read ingest: append the batch as per-bucket delta
+        files — upserts plus tombstones for deleted ids (sig store) and
+        vacated band keys (posting store) — O(batch) write I/O. Reads
+        fold base + deltas by (key, seq) LWW (_LwwIndexStore). Posting
+        delta first: its tombstones derive from the pre-batch sig rows,
+        which a crash-replay can only re-derive while the sig store is
+        still unmodified."""
+        import shutil
 
-                obs = Observation()
-                plan.observe(
-                    obs, F.count(F.lit(1)).alias("n")
-                ).write.mode("overwrite").parquet(pairs_out)
-                metrics["pairs"] = int(obs.get["n"])
-                metrics["pairs_path"] = pairs_out
-                pairs = self.spark.read.parquet(pairs_out)
-            else:
-                # convenience path: pin the (batch-sized, small) pair
-                # set on the driver so the returned frame stays valid
-                # after later ingests swap the live buckets.
-                rows = plan.collect()
-                metrics["pairs"] = len(rows)
-                pairs = self.spark.createDataFrame(rows, plan.schema)
-        # last consumer of the signature snapshot has run — drop it so a
-        # long replay doesn't keep one stale snapshot per index forever
-        shutil.rmtree(snap, ignore_errors=True)
-        return metrics, pairs
+        SEQ = _LwwIndexStore.SEQ_COL
+        OP = _LwwIndexStore.OP_COL
+        seq_sig = self.sig_store.allocate_seq()
+        seq_post = self.post_store.allocate_seq()
+
+        try:
+            cur = self.sig_store.read_buckets(touched_sig)
+        except ValueError:
+            # every touched bucket is brand new (no base dir, no delta)
+            cur = new_sigs.limit(0)
+        old_changed = cur.join(changed, "id", "leftsemi").select("id", "sig")
+        old_banded = self._banded(old_changed)
+        new_banded = self._banded(new_sigs)
+        sig_type = new_sigs.schema["sig"].dataType
+
+        # ---- posting delta: new postings + vacated-key tombstones ------
+        vacated = old_banded.select("band", "bkey", "id").join(
+            new_banded.select("band", "bkey", "id"),
+            ["band", "bkey", "id"],
+            "left_anti",
+        )
+        post_delta = (
+            new_banded.withColumn(OP, F.lit(OP_UPSERT))
+            .unionByName(
+                vacated.withColumn("sig", F.lit(None).cast(sig_type))
+                .withColumn(OP, F.lit(OP_DELETE))
+            )
+            .withColumn(SEQ, F.lit(seq_post).cast("long"))
+            .withColumn("bucket", self._post_bucket())
+        )
+        touched_post = self._distinct_buckets(
+            old_banded.select("band", "bkey").unionByName(
+                new_banded.select("band", "bkey")
+            ),
+            self._post_bucket(),
+        )
+        post_staging = f"{self.post_store.path}.delta_staging"
+        staged_post = self.post_store.stage_write(
+            post_delta.repartition(max(len(touched_post), 1), "bucket"),
+            post_staging,
+        )
+        if set(staged_post) - set(touched_post):
+            shutil.rmtree(post_staging, ignore_errors=True)
+            raise RuntimeError(
+                f"posting delta staged buckets "
+                f"{sorted(set(staged_post) - set(touched_post))} outside "
+                f"the touched set {touched_post}"
+            )
+        post_bytes = self._staged_bytes(post_staging)
+        post_files = self.post_store.append_delta(post_staging, staged_post)
+
+        # ---- signature delta: upserts + deleted-id tombstones ----------
+        sig_delta = new_sigs.select("id", "sig").withColumn(
+            OP, F.lit(OP_UPSERT)
+        )
+        if deleted is not None:
+            sig_delta = sig_delta.unionByName(
+                deleted.withColumn("sig", F.lit(None).cast(sig_type))
+                .withColumn(OP, F.lit(OP_DELETE))
+            )
+        sig_delta = sig_delta.withColumn(
+            SEQ, F.lit(seq_sig).cast("long")
+        ).withColumn("bucket", self._sig_bucket())
+        sig_staging = f"{self.sig_store.path}.delta_staging"
+        staged_sig = self.sig_store.stage_write(
+            sig_delta.repartition(max(len(touched_sig), 1), "bucket"),
+            sig_staging,
+        )
+        if set(staged_sig) - set(touched_sig):
+            shutil.rmtree(sig_staging, ignore_errors=True)
+            raise RuntimeError(
+                f"sig delta staged buckets "
+                f"{sorted(set(staged_sig) - set(touched_sig))} outside "
+                f"the changed-id bucket set {touched_sig}"
+            )
+        sig_rows = self._staged_rows(sig_staging)
+        sig_bytes = self._staged_bytes(sig_staging)
+        sig_files = self.sig_store.append_delta(sig_staging, staged_sig)
+        # appended winners as an upper-bound estimate (tombstones incl.)
+        for b, n in sig_rows.items():
+            self.sig_store._row_est[b] = self.sig_store._row_est.get(b, 0) + n
+        self.sig_store._write_meta()
+
+        metrics = {
+            "mode": "mor",
+            "sig_touched_buckets": len(staged_sig),
+            "post_touched_buckets": len(staged_post),
+            "buckets": self.buckets,
+            "sig_buckets": self.sig_store.buckets,
+            "post_buckets": self.post_store.buckets,
+            "sig_bytes_written": sig_bytes,
+            "post_bytes_written": post_bytes,
+            "sig_delta_files": sig_files,
+            "post_delta_files": post_files,
+        }
+        return metrics, new_banded
 
     def update(
         self,
@@ -897,12 +1232,14 @@ class MinhashIndex:
         content_col: str = "text",
         id_col: str = "doc_id",
         deleted_ids: DataFrame | None = None,
+        mode: str = "auto",
     ) -> dict:
         """Upsert the batch's signatures (and apply deletes); returns
         the per-batch I/O metrics — deliberately NOT a full-index count,
         which would be an O(corpus) job per micro-batch."""
         metrics, _ = self.ingest(
-            docs, content_col, id_col, deleted_ids, compute_pairs=False
+            docs, content_col, id_col, deleted_ids,
+            compute_pairs=False, mode=mode,
         )
         return metrics
 

@@ -57,6 +57,50 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state by a FULL engine replay through the bucketed state
+    table with the merge-on-read path exercised: a bulk COW window
+    seeds the table, then the churn tail replays in small windows that
+    auto-select MOR (per-bucket delta appends folded at read time).
+    The oracle is the plain LWW SQL (same as ``cdc_final_state``), so
+    a green hash proves the base+delta fold — tombstones, seq LWW,
+    bucket pruning and all — equals the from-scratch dedup. Raises if
+    no window actually took the MOR path (a silently-COW run would
+    vacuously pass)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import CdcEngine
+
+    log = changelog_from_events(spark, sf_dir)
+    hi = log.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+    cut = int(hi * 0.97)  # ~3% churn tail → well under MOR_ROW_RATIO
+    work = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="mor_replay_", dir=work)
+    try:
+        # normalize=None: the oracle replays the raw log, so the engine
+        # must not sanitize content on the way in
+        eng = CdcEngine(
+            spark, f"{path}/state", f"{path}/m.jsonl", normalize=None
+        )
+        eng.replay(log.filter(F.col("lsn") <= cut), batch_size=int(1e12))
+        tail = eng.replay(log, batch_size=max(int(hi * 0.01), 1))
+        if not any(e.get("mode") == "mor" for e in tail):
+            raise AssertionError(
+                f"churn tail never took the MOR path: {tail}"
+            )
+        out = eng.final_state().select(
+            "repo", "path", "commit", "lang", "content", "lsn",
+            "content_sha256",
+        )
+        # pin on the driver so the work dir can be removed before return
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 INSERT OR IGNORE intent: keep the first event per key."""
     log = changelog_from_events(spark, sf_dir)

@@ -624,3 +624,189 @@ class TestPostingSkew:
             ).collect()
         }
         assert ("z", "z2") in cold
+
+
+class TestIndexMor:
+    """Merge-on-read delta ingest for the MinHash index stores — the
+    r3 verdict's residual caveat (index stores inherited the state
+    table's COW write amplification at steady-state small churn)."""
+
+    def _sig_set(self, idx):
+        return {(r["id"], tuple(r["sig"])) for r in idx.signatures().collect()}
+
+    def _pairs_set(self, df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    def _seed(self, spark, n):
+        return docs_df(
+            spark, [(f"s{i}", f"{BASE_TEXT} variant {i} {i*7}") for i in range(n)]
+        )
+
+    def test_mor_equals_cow(self, spark, tmp_path):
+        """Forced-MOR ingest must produce the same index contents and
+        the same pairs as forced-COW over an identical batch history."""
+        batches = [
+            ("seed", self._seed(spark, 20), None),
+            ("b1", docs_df(spark, [("x", BASE_TEXT + " tonight"),
+                                   ("s3", OTHER_TEXT)]), None),  # s3 updated
+            ("b2", docs_df(spark, [("y", OTHER_TEXT + " indeed")]),
+             spark.createDataFrame([("s5",)], "doc_id string")),  # s5 deleted
+        ]
+        out = {}
+        for mode in ("cow", "mor"):
+            idx = MinhashIndex(
+                spark, str(tmp_path / f"idx_{mode}"),
+                k=2, num_hashes=16, bands=4, buckets=4,
+            )
+            pair_sets = []
+            for i, (_name, docs, dels) in enumerate(batches):
+                m = "cow" if i == 0 else mode  # store must exist for MOR
+                met, pairs = idx.ingest(
+                    docs, "text", "doc_id", deleted_ids=dels,
+                    threshold=0.4, mode=m,
+                )
+                assert met["mode"] == m
+                pair_sets.append(self._pairs_set(pairs))
+            out[mode] = (self._sig_set(idx), pair_sets)
+        assert out["cow"][0] == out["mor"][0]
+        assert out["cow"][1] == out["mor"][1]
+
+    def test_mor_vacates_old_band_keys(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        idx.update(docs_df(spark, [("a", BASE_TEXT), ("b", OTHER_TEXT)]),
+                   "text", "doc_id")  # cow seed
+        idx.update(docs_df(spark, [("a", OTHER_TEXT + " rewritten")]),
+                   "text", "doc_id", mode="mor")
+        # folded posting view holds ONLY a's new band keys
+        post = idx.post_store.read().filter(F.col("id") == "a")
+        got = {(r["band"], r["bkey"]) for r in post.collect()}
+        from rfb_cnpj_etl_spark.operators.dedup import band_explode, minhash_signatures
+        want_df = band_explode(
+            minhash_signatures(
+                docs_df(spark, [("a", OTHER_TEXT + " rewritten")]),
+                "text", "doc_id", idx.k, idx.num_hashes, idx.hash_family,
+            ),
+            idx.num_hashes, idx.bands, idx.hash_family,
+        )
+        want = {(r["band"], r["bucket"]) for r in want_df.collect()}
+        assert got == want
+
+    def test_mor_delete_removes_doc(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        idx.update(docs_df(spark, [("a", BASE_TEXT), ("b", OTHER_TEXT)]),
+                   "text", "doc_id")
+        empty = docs_df(spark, [])
+        met = idx.update(
+            empty, "text", "doc_id",
+            deleted_ids=spark.createDataFrame([("a",)], "doc_id string"),
+            mode="mor",
+        )
+        assert met["mode"] == "mor"
+        assert {r["id"] for r in idx.signatures().collect()} == {"b"}
+        # a's postings no longer pair against a fresh probe of its text
+        got = self._pairs_set(
+            idx.incremental_pairs(docs_df(spark, [("probe", BASE_TEXT)]),
+                                  threshold=0.4)
+        )
+        assert got == set()
+
+    def test_mor_write_io_is_o_batch(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=8
+        )
+        m0, _ = idx.ingest(self._seed(spark, 400), "text", "doc_id",
+                           compute_pairs=False, mode="cow")
+        corpus_bytes = m0["sig_bytes_written"] + m0["post_bytes_written"]
+        m1, _ = idx.ingest(
+            docs_df(spark, [("t1", BASE_TEXT + " small batch")]),
+            "text", "doc_id", compute_pairs=False, mode="mor",
+        )
+        delta_bytes = m1["sig_bytes_written"] + m1["post_bytes_written"]
+        assert m1["mode"] == "mor"
+        # one doc of 400: delta write ≪ corpus rewrite (generous 20% cap
+        # absorbs parquet per-file overhead at toy scale)
+        assert delta_bytes < 0.2 * corpus_bytes, (delta_bytes, corpus_bytes)
+
+    def test_mor_replay_idempotent(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        idx.update(docs_df(spark, [("a", BASE_TEXT), ("b", OTHER_TEXT)]),
+                   "text", "doc_id")
+        batch = docs_df(spark, [("c", BASE_TEXT + " tonight"), ("a", OTHER_TEXT)])
+        dels = spark.createDataFrame([("b",)], "doc_id string")
+        m1, p1 = idx.ingest(batch, "text", "doc_id", deleted_ids=dels,
+                            threshold=0.4, mode="mor")
+        after_once = self._sig_set(idx)
+        # crash-replay: the SAME batch re-ingested (manifest never
+        # committed) — state and pairs must converge, not duplicate
+        m2, p2 = idx.ingest(batch, "text", "doc_id", deleted_ids=dels,
+                            threshold=0.4, mode="mor")
+        assert self._sig_set(idx) == after_once
+        assert self._pairs_set(p1) == self._pairs_set(p2)
+
+    def test_compact_folds_index_deltas(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        idx.update(self._seed(spark, 10), "text", "doc_id")
+        idx.update(docs_df(spark, [("m1", BASE_TEXT + " tonight")]),
+                   "text", "doc_id", mode="mor")
+        assert idx.sig_store.delta_bucket_ids()
+        before = self._sig_set(idx)
+        probe = docs_df(spark, [("m1", BASE_TEXT + " tonight")])
+        pairs_before = self._pairs_set(idx.incremental_pairs(probe, threshold=0.4))
+        idx.sig_store.compact()
+        idx.post_store.compact()
+        assert not idx.sig_store.delta_bucket_ids()
+        assert not idx.post_store.delta_bucket_ids()
+        assert self._sig_set(idx) == before
+        assert self._pairs_set(
+            idx.incremental_pairs(probe, threshold=0.4)
+        ) == pairs_before
+
+    def test_auto_mode_cow_bulk_mor_churn(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=2
+        )
+        m0, _ = idx.ingest(self._seed(spark, 40), "text", "doc_id",
+                           compute_pairs=False)  # auto: fresh store → cow
+        assert m0["mode"] == "cow"
+        m1, _ = idx.ingest(
+            docs_df(spark, [("t", BASE_TEXT + " churn")]),
+            "text", "doc_id", compute_pairs=False,
+        )  # auto: 1 of 40 rows → mor
+        assert m1["mode"] == "mor"
+        m2, _ = idx.ingest(self._seed(spark, 40), "text", "doc_id",
+                           compute_pairs=False)  # auto: 40 of ~41 → cow
+        assert m2["mode"] == "cow"
+
+    def test_rebucket_folds_deltas_and_seq_survives(self, spark, tmp_path):
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=2
+        )
+        idx.update(docs_df(spark, [("a", BASE_TEXT), ("b", OTHER_TEXT)]),
+                   "text", "doc_id")
+        idx.update(docs_df(spark, [("c", BASE_TEXT + " tonight")]),
+                   "text", "doc_id", mode="mor")
+        seq_before = idx.sig_store._next_seq
+        assert idx.sig_store.delta_bucket_ids()
+        idx.sig_store.rebucket(4)
+        idx.post_store.rebucket(4)
+        assert not idx.sig_store.delta_bucket_ids()
+        idx2 = MinhashIndex.open(spark, str(tmp_path / "idx"))
+        assert idx2.sig_store.buckets == 4
+        # counter survives the rebucket (a reset would let old base rows
+        # outrank fresh deltas)
+        assert idx2.sig_store._next_seq >= seq_before
+        assert {r["id"] for r in idx2.signatures().collect()} == {"a", "b", "c"}
+        got = self._pairs_set(
+            idx2.incremental_pairs(
+                docs_df(spark, [("c", BASE_TEXT + " tonight")]), threshold=0.4
+            )
+        )
+        assert ("a", "c") in got
