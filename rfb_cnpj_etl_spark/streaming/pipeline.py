@@ -78,7 +78,13 @@ class StreamingCdcPipeline:
         if batch.isEmpty():
             return
         bounds = batch.agg(
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+            # row count rides the same tiny agg job — it feeds the auto
+            # COW/MOR merge decision (without it auto always falls back
+            # to COW, and a steady small-epoch stream is exactly the
+            # merge-on-read shape)
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         self.engine.apply_batch(
             batch,
@@ -86,6 +92,7 @@ class StreamingCdcPipeline:
             int(bounds["lo"]),
             int(bounds["hi"]),
             minhash_index=self.minhash_index,
+            batch_rows=int(bounds["n"]),
         )
 
     def start(self, available_now: bool = True):

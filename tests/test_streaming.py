@@ -238,3 +238,43 @@ class TestStreamingWithIndex:
             e.get("near_dup_pairs", 0) for e in pipe.manifest.entries()
         )
         assert total_pairs >= 1
+
+
+class TestStreamingMor:
+    def test_small_epochs_take_mor_and_match(self, spark, tmp_path):
+        """A steady stream of small epochs over a bulk-seeded table is
+        the merge-on-read shape: epochs must auto-select MOR (the epoch
+        row count rides the bounds agg) and the folded final state must
+        still equal the batch oracle."""
+        from rfb_cnpj_etl_spark.engine import CdcEngine
+
+        log = synthesize_changelog(spark, 6000, n_repos=5, n_paths=300).cache()
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        # bulk seed via the batch engine (COW, populates row estimates)
+        eng = CdcEngine(spark, state, man, buckets=8)
+        eng.replay(log.filter(F.col("lsn") < 5700), batch_size=6000)
+        # the ~300-event tail arrives as 3 streamed epochs
+        src = str(tmp_path / "log")
+        write_log_files(
+            spark, log.filter(F.col("lsn") >= 5700), src, n_files=3
+        )
+        pipe = StreamingCdcPipeline(
+            spark, src, state, man, str(tmp_path / "ckpt"),
+            buckets=8, max_files_per_trigger=1,
+        )
+        pipe.run_until_drained()
+        stream_modes = [
+            e.get("mode")
+            for e in pipe.manifest.entries()
+            if str(e.get("batch_id", "")).startswith("stream_epoch_")
+        ]
+        assert stream_modes and all(m == "mor" for m in stream_modes), stream_modes
+        exp = {
+            (r["repo"], r["path"]): r["content"]
+            for r in expected_final_state(log).collect()
+        }
+        got = {
+            (r["repo"], r["path"]): r["content"]
+            for r in pipe.state.read().collect()
+        }
+        assert got == exp
