@@ -91,18 +91,38 @@ def load_prev_bench() -> dict[str, float]:
     return best[1] if best else {}
 
 
-def cpu_calibration() -> float:
-    """Seconds for a fixed single-thread pure-Python spin. This VM's
-    effective CPU supply swings 2.7-6x with host tenancy (BASELINE.md);
-    sampling the same fixed work before/mid/after the run lets a reader
-    separate engine changes from host weather when comparing rounds
-    (r4 example: cdc_bulk_replay measured 22s cold under a bad window
-    and 4.6-11s warm minutes later with no code change)."""
+def cpu_calibration(threads: int = 8, seconds: float = 1.5) -> float:
+    """Aggregate sha256 MB/s across ``threads`` GIL-releasing hash
+    workers — the host CPU supply actually delivered at multi-thread
+    width (same probe as scripts/bench_scaling.py). This VM is a
+    multi-tenant microVM whose supply swings 2.7-6x with host tenancy,
+    and WIDE jobs lose supply even when a single-thread spin looks
+    healthy (r4 example: cdc_bulk_replay measured 22s under a bad
+    window and 4.6-11s minutes later with no code change, with the
+    1-thread spin near-flat throughout). Sampling the same fixed work
+    before/mid/after the run lets a reader separate engine changes
+    from host weather when comparing rounds."""
+    import hashlib
+    import threading
+
+    buf = b"\x00" * (1 << 20)
+    counts = [0] * threads
+    deadline = time.time() + seconds
+
+    def spin(i: int) -> None:
+        h = hashlib.sha256
+        while time.time() < deadline:
+            h(buf).digest()
+            counts[i] += 1
+
+    ts = [threading.Thread(target=spin, args=(i,)) for i in range(threads)]
     t0 = time.time()
-    x = 0
-    for i in range(20_000_000):
-        x += i * i
-    return round(time.time() - t0, 3)
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    dt = time.time() - t0
+    return round(sum(counts) / dt, 1)  # MB/s (1 MiB per digest)
 
 
 def get_session():
@@ -271,7 +291,7 @@ def main() -> None:
                 "cdc_churn_mor_windows": bulk["churn_mor_windows"],
                 "cdc_churn_windows": bulk["churn_windows"],
                 "replay_work_area": "tmpfs" if WORK_AREA else "disk",
-                "cpu_calib_s": calib,
+                "cpu_calib_hash_mb_s": calib,
             }
         )
     )
