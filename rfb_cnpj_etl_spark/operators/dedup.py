@@ -915,7 +915,17 @@ class MinhashIndex:
                 plan.observe(
                     obs, F.count(F.lit(1)).alias("n")
                 ).write.mode("overwrite").parquet(pairs_out)
-                metrics["pairs"] = int(obs.get["n"])
+                try:
+                    n = int(obs.get["n"])
+                except Exception:  # noqa: BLE001
+                    # AQE empty-relation propagation can eliminate the
+                    # CollectMetrics node (StateTable._obs_counts has
+                    # the same fallback); footer-only count of what was
+                    # just written — no data scan.
+                    n = sum(self._staged_rows(pairs_out).values()) or int(
+                        self.spark.read.parquet(pairs_out).count()
+                    )
+                metrics["pairs"] = n
                 metrics["pairs_path"] = pairs_out
                 pairs = self.spark.read.parquet(pairs_out)
             else:
