@@ -40,6 +40,7 @@ def _engine(args) -> CdcEngine:
         args.manifest,
         buckets=args.buckets,
         salt_buckets=getattr(args, "salt_buckets", None),
+        merge_mode=getattr(args, "merge_mode", "auto"),
     )
 
 
@@ -175,6 +176,19 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_posting_skew(args) -> int:
+    from .operators.dedup import MinhashIndex
+
+    spark = get_spark("rfb_cnpj_etl_spark_cli")
+    idx = MinhashIndex.open(spark, args.minhash_index)
+    top = [
+        {"band": r["band"], "bkey": str(r["bkey"]), "n_ids": r["n_ids"]}
+        for r in idx.posting_skew(top_n=args.top).collect()
+    ]
+    print(json.dumps({"index": args.minhash_index, "hot_keys": top}))
+    return 0
+
+
 def cmd_gen(args) -> int:
     spark = get_spark("rfb_cnpj_etl_spark_cli")
     synthesize_changelog(
@@ -216,6 +230,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="path of a MinHash index to maintain during the replay "
         "(near-dup pairs surface per batch in the manifest)",
+    )
+    sp.add_argument(
+        "--merge-mode",
+        choices=("auto", "cow", "mor"),
+        default="auto",
+        help="per-batch write strategy: cow rewrites touched buckets, "
+        "mor appends merge-on-read delta files (small-churn path), "
+        "auto decides from the batch/state row ratio",
     )
     sp.add_argument(
         "--index-max-fanout",
@@ -264,6 +286,15 @@ def main(argv: list[str] | None = None) -> int:
     # the common options that would construct an engine/session.
     sp.add_argument("--state", required=True)
     sp.set_defaults(fn=cmd_health)
+
+    sp = sub.add_parser(
+        "posting-skew",
+        help="hottest LSH posting keys of a MinHash index (picks a "
+        "--index-max-fanout value)",
+    )
+    sp.add_argument("--minhash-index", required=True)
+    sp.add_argument("--top", type=int, default=20)
+    sp.set_defaults(fn=cmd_posting_skew)
 
     sp = sub.add_parser(
         "maintain",

@@ -810,3 +810,45 @@ class TestIndexMor:
             )
         )
         assert ("a", "c") in got
+
+
+class TestCliRound4:
+    def test_merge_mode_and_posting_skew_verbs(self, spark, tmp_path, capsys):
+        """CLI surface for the round-4 features: --merge-mode reaches
+        the engine, and posting-skew reports an index's hot keys."""
+        import json as _json
+
+        from rfb_cnpj_etl_spark import cli
+
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        logdir = str(tmp_path / "log")
+        idxdir = str(tmp_path / "mh")
+        log_df(spark, [row("r", f"p{i}", BASE_TEXT + f" v{i}", i)
+                       for i in range(30)]).write.parquet(logdir)
+        rc = cli.main([
+            "replay", "--state", state, "--manifest", man,
+            "--log", logdir, "--minhash-index", idxdir,
+            "--merge-mode", "cow",
+        ])
+        assert rc == 0
+        # churn with forced MOR: two updated keys
+        log2 = str(tmp_path / "log2")
+        log_df(spark, [row("r", "p1", OTHER_TEXT, 100),
+                       row("r", "p2", OTHER_TEXT + " x", 101)]
+               ).write.parquet(log2)
+        rc = cli.main([
+            "replay", "--state", state, "--manifest", man,
+            "--log", log2, "--merge-mode", "mor",
+        ])
+        assert rc == 0
+        from rfb_cnpj_etl_spark.plans.checkpoint import Manifest
+
+        modes = [e.get("mode") for e in Manifest(man).entries() if "mode" in e]
+        assert modes[-1] == "mor", modes
+        capsys.readouterr()
+        rc = cli.main(["posting-skew", "--minhash-index", idxdir, "--top", "5"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["hot_keys"] and all(
+            k["n_ids"] >= 1 for k in out["hot_keys"]
+        )
