@@ -566,6 +566,20 @@ class _LwwIndexStore(BucketedParquetStore):
             ),
         )
 
+    def rebucket(self, new_buckets: int) -> dict:
+        """Generic layout migration plus row-estimate reseed: the
+        estimates are keyed by bucket id, which a rebucket invalidates
+        (StateTable.rebucket does the same). Without the reseed the
+        auto COW/MOR ingest decision would sum stale buckets' counts."""
+        res = super().rebucket(new_buckets)
+        # a bucket absent from the rewrite's counts is KNOWN-empty
+        # after a full-table rewrite — record the 0 (a missing entry
+        # reads as "untracked" and forces the conservative COW path)
+        counts = {int(b): int(n) for b, n in res["bucket_rows"].items()}
+        self._row_est = {b: counts.get(b, 0) for b in range(new_buckets)}
+        self._write_meta()
+        return res
+
     # -- merge-on-read fold --------------------------------------------
 
     def _fold_delta(self, base, delta):

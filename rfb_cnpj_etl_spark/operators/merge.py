@@ -478,7 +478,11 @@ class StateTable(BucketedParquetStore):
         into the new base. The per-bucket counts it collects seed the
         row estimates the auto COW/MOR decision runs on."""
         res = super().rebucket(new_buckets)
-        self._row_est = dict(res["bucket_rows"])
+        # buckets absent from the rewrite's counts are KNOWN-empty after
+        # a full-table rewrite — record the 0 (a missing entry reads as
+        # "untracked" and forces the conservative COW path)
+        counts = dict(res["bucket_rows"])
+        self._row_est = {b: counts.get(b, 0) for b in range(new_buckets)}
         self._write_meta()
         return res
 

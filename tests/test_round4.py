@@ -852,3 +852,30 @@ class TestCliRound4:
         assert out["hot_keys"] and all(
             k["n_ids"] >= 1 for k in out["hot_keys"]
         )
+
+
+class TestIndexRowEstReseed:
+    def test_rebucket_reseeds_row_estimates(self, spark, tmp_path):
+        """Row estimates are keyed by bucket id; a rebucket must reseed
+        them or the auto COW/MOR decision sums stale buckets."""
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), k=2, num_hashes=16, bands=4, buckets=2
+        )
+        docs = docs_df(
+            spark, [(f"d{i}", BASE_TEXT + f" v{i}") for i in range(80)]
+        )
+        idx.update(docs, "text", "doc_id")  # cow → exact est under B=2
+        before_total = sum(idx.sig_store._row_est.values())
+        idx.sig_store.rebucket(4)
+        est = idx.sig_store._row_est
+        assert set(est) == set(range(4))  # known-empty buckets recorded as 0
+        assert sum(est.values()) == before_total == 80
+        # a fresh handle reloads the reseeded estimates from the marker
+        idx2 = MinhashIndex.open(spark, str(tmp_path / "idx"))
+        assert idx2.sig_store._row_est == est
+        # and auto still selects MOR for small churn under the new layout
+        m, _ = idx2.ingest(
+            docs_df(spark, [("t", BASE_TEXT + " churn")]),
+            "text", "doc_id", compute_pairs=False,
+        )
+        assert m["mode"] == "mor"
