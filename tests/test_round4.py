@@ -879,3 +879,50 @@ class TestIndexRowEstReseed:
             "text", "doc_id", compute_pairs=False,
         )
         assert m["mode"] == "mor"
+
+
+class TestMorFuzz:
+    def test_random_splits_and_modes_converge(self, spark, tmp_path):
+        """Seeded fuzz over the replay plan: random window sizes and a
+        random cow/mor/auto mode per replay leg, with a resume (fresh
+        engine) in the middle — every trajectory must land on the same
+        LWW final state and a duplicate-free table."""
+        import random
+
+        from rfb_cnpj_etl_spark.engine import CdcEngine
+        from rfb_cnpj_etl_spark.gen import (
+            expected_final_state,
+            synthesize_changelog,
+        )
+
+        log = synthesize_changelog(
+            spark, 4000, n_repos=4, n_paths=150, delete_ratio=0.15,
+            hot_repo_fraction=0.3,
+        ).cache()
+        exp = {
+            (r["repo"], r["path"]): r["content"]
+            for r in expected_final_state(log).collect()
+        }
+        for seed in (7, 23, 91):
+            rng = random.Random(seed)
+            state = str(tmp_path / f"s{seed}")
+            man = str(tmp_path / f"m{seed}.jsonl")
+            cuts = sorted(rng.sample(range(200, 3800), 3)) + [4000]
+            lo = 0
+            for leg, hi in enumerate(cuts):
+                mode = rng.choice(["cow", "mor", "auto"])
+                if leg == 0:
+                    mode = "cow"  # a fresh store has nothing to delta
+                eng = CdcEngine(spark, state, man, merge_mode=mode)
+                eng.replay(
+                    log.filter(F.col("lsn") < hi),
+                    batch_size=rng.choice([500, 1500, 4000]),
+                )
+                lo = hi
+            eng = CdcEngine(spark, state, man)  # resume handle
+            got = {
+                (r["repo"], r["path"]): r["content"]
+                for r in eng.state.read().collect()
+            }
+            assert got == exp, f"seed {seed} diverged"
+            assert eng.state.audit_key_uniqueness() == 0
