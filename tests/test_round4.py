@@ -926,3 +926,37 @@ class TestMorFuzz:
             }
             assert got == exp, f"seed {seed} diverged"
             assert eng.state.audit_key_uniqueness() == 0
+
+
+class TestMorMaintenanceLoop:
+    def test_delta_files_trigger_index_compaction(self, spark, tmp_path):
+        """MOR appends one delta file per touched bucket per batch; the
+        maintenance policy must see base+delta file counts and fold the
+        deltas back via compaction — the designed GC for the delta
+        path."""
+        from rfb_cnpj_etl_spark.engine import CdcEngine, MaintenancePolicy
+
+        eng = CdcEngine(spark, str(tmp_path / "state"), str(tmp_path / "m.jsonl"))
+        idx = MinhashIndex(
+            spark, str(tmp_path / "mh"), k=2, num_hashes=16, bands=4, buckets=2
+        )
+        seed = [(f"s{i}", BASE_TEXT + f" v{i}") for i in range(30)]
+        idx.update(docs_df(spark, seed), "text", "doc_id")
+        for j in range(4):  # 4 small MOR batches → ≥4 delta files/bucket
+            m = idx.update(
+                docs_df(spark, [(f"c{j}", OTHER_TEXT + f" {j}")]),
+                "text", "doc_id", mode="mor",
+            )
+            assert m["mode"] == "mor"
+        assert idx.sig_store.delta_bucket_ids()
+        h = idx.sig_store.health()
+        assert h["delta_files"] >= 4
+        policy = MaintenancePolicy(max_files_per_bucket=3)
+        report = eng.maintain(policy, minhash_index=idx)
+        compacted = {
+            a["store"] for a in report["actions"] if a["action"] == "compact"
+        }
+        assert "index_sig" in compacted
+        assert not idx.sig_store.delta_bucket_ids()  # deltas folded
+        ids = {r["id"] for r in idx.signatures().collect()}
+        assert {f"c{j}" for j in range(4)} <= ids and len(ids) == 34
