@@ -94,7 +94,11 @@ def load_prev_bench() -> dict[str, float]:
 def cpu_calibration(threads: int = 8, seconds: float = 1.5) -> float:
     """Aggregate sha256 MB/s across ``threads`` GIL-releasing hash
     workers — the host CPU supply actually delivered at multi-thread
-    width (same probe as scripts/bench_scaling.py). This VM is a
+    width (same probe as scripts/bench_scaling.py). Callers pass the
+    width of the job under test: an 8-thread probe can read healthy
+    while the 32-thread supply is capped (observed r4: the same churn
+    replay measured 13.8s and 58.8s across runs with flat 8-thread
+    calibration). This VM is a
     multi-tenant microVM whose supply swings 2.7-6x with host tenancy,
     and WIDE jobs lose supply even when a single-thread spin looks
     healthy (r4 example: cdc_bulk_replay measured 22s under a bad
@@ -213,7 +217,7 @@ def time_bulk_replay(
 
 def main() -> None:
     replay_only = "--replay-only" in sys.argv
-    calib = [cpu_calibration()]
+    calib = [cpu_calibration(threads=CPUS)]
     spark = get_session()
     if replay_only:
         print(json.dumps({"cores": CPUS, **time_replay(spark, SF_DIR)}))
@@ -251,7 +255,7 @@ def main() -> None:
             reps.append(round(time.time() - t0, 3))
         watchlist[name] = reps
 
-    calib.append(cpu_calibration())
+    calib.append(cpu_calibration(threads=CPUS))
     replay = time_replay(spark, SF_DIR)
     times["cdc_replay"] = replay["seconds"]
     total += replay["seconds"]
@@ -260,7 +264,7 @@ def main() -> None:
     total += bulk["seconds"]
     times["cdc_churn_replay"] = bulk["churn_seconds"]
     total += bulk["churn_seconds"]
-    calib.append(cpu_calibration())
+    calib.append(cpu_calibration(threads=CPUS))
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
