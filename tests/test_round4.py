@@ -960,3 +960,49 @@ class TestMorMaintenanceLoop:
         assert not idx.sig_store.delta_bucket_ids()  # deltas folded
         ids = {r["id"] for r in idx.signatures().collect()}
         assert {f"c{j}" for j in range(4)} <= ids and len(ids) == 34
+
+
+class TestMorWithIndexInReplay:
+    def test_churn_tail_mor_on_both_stores_with_resume(self, spark, tmp_path):
+        """State table AND MinHash index take the delta path in the
+        same churn window, and a crash-resume (fresh engine, same
+        manifest) neither reapplies nor diverges."""
+        from rfb_cnpj_etl_spark.engine import CdcEngine
+        from rfb_cnpj_etl_spark.gen import (
+            expected_final_state,
+            synthesize_changelog,
+        )
+        from rfb_cnpj_etl_spark.plans.checkpoint import Manifest
+
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        idx = MinhashIndex(
+            spark, str(tmp_path / "mh"), k=2, num_hashes=16, bands=4, buckets=4
+        )
+        log = synthesize_changelog(
+            spark, 5000, n_repos=5, n_paths=300, delete_ratio=0.1
+        ).cache()
+        eng = CdcEngine(spark, state, man)
+        bulk = eng.replay(
+            log.filter(F.col("lsn") < 4900), batch_size=5000, minhash_index=idx
+        )
+        assert bulk[0]["mode"] == "cow"
+        bulk_idx_bytes = bulk[0]["index_bytes_written"]
+        tail = eng.replay(log, batch_size=5000, minhash_index=idx)
+        assert tail[0]["mode"] == "mor"
+        # index went MOR too: the entry's write I/O is a sliver of bulk
+        assert tail[0]["index_bytes_written"] < 0.2 * bulk_idx_bytes
+        assert idx.sig_store.delta_bucket_ids()  # index deltas on disk
+        n_entries = len(Manifest(man).entries())
+        # resume: fresh engine + fresh index handle, re-offered log
+        eng2 = CdcEngine(spark, state, man)
+        idx2 = MinhashIndex.open(spark, str(tmp_path / "mh"))
+        again = eng2.replay(log, batch_size=5000, minhash_index=idx2)
+        assert all(e.get("skipped") for e in again) or not again
+        assert len(Manifest(man).entries()) == n_entries
+        assert eng2.verify_against(expected_final_state(log))["ok"]
+        # the index folded view has exactly the live keys
+        live = {
+            r["repo"] + "\x1f" + r["path"]
+            for r in expected_final_state(log).collect()
+        }
+        assert {r["id"] for r in idx2.signatures().collect()} == live
