@@ -1006,3 +1006,36 @@ class TestMorWithIndexInReplay:
             for r in expected_final_state(log).collect()
         }
         assert {r["id"] for r in idx2.signatures().collect()} == live
+
+
+class TestStaleDeltaCrashWindow:
+    def test_resurrected_stale_delta_loses_to_folded_base(self, spark, tmp_path):
+        """COW clears the touched deltas AFTER the bucket swap; a crash
+        between the two leaves already-folded delta rows on disk. The
+        invariant that makes this safe: base rows persist their ingest
+        seq, so a folded (hence older-or-equal seq) delta row can never
+        outrank the rewritten base. Simulate the crash by saving the
+        delta tree pre-COW and restoring it post-COW."""
+        import shutil as _sh
+
+        path = str(tmp_path / "idx")
+        idx = MinhashIndex(spark, path, k=2, num_hashes=16, bands=4, buckets=2)
+        idx.update(docs_df(spark, [("a", BASE_TEXT), ("b", OTHER_TEXT)]),
+                   "text", "doc_id")
+        # MOR update rewrites a's signature via a delta
+        idx.update(docs_df(spark, [("a", OTHER_TEXT + " v2")]),
+                   "text", "doc_id", mode="mor")
+        saved = str(tmp_path / "saved_delta")
+        _sh.copytree(idx.sig_store.delta_root, saved)
+        # COW batch folds the delta into the base and clears it,
+        # and updates a AGAIN (newer seq lands in the base rows)
+        idx.update(docs_df(spark, [("a", BASE_TEXT + " v3")]),
+                   "text", "doc_id", mode="cow")
+        expected = {
+            (r["id"], tuple(r["sig"])) for r in idx.signatures().collect()
+        }
+        # crash simulation: the already-folded (stale) delta reappears
+        _sh.copytree(saved, idx.sig_store.delta_root, dirs_exist_ok=True)
+        assert idx.sig_store.delta_bucket_ids()  # fold engages again
+        got = {(r["id"], tuple(r["sig"])) for r in idx.signatures().collect()}
+        assert got == expected  # stale v2 delta cannot beat the v3 base
