@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": Q.doc_quality,
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,
         "minhash_dups": Q.minhash_dups,
+        "near_dup_clusters": Q.near_dup_clusters,
         "minhash_incremental": Q.minhash_incremental,
         "simhash_dups": Q.simhash_dups,
         "doc_text_features": Q.doc_text_features,
@@ -738,6 +739,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, est_jaccard FROM est
             WHERE est_jaccard >= 0.5
               AND (id_a % 10 < 2 OR id_b % 10 < 2)
+        """,
+        # transitive closure (recursive CTE) over the SAME md5-affine
+        # pair set the Spark side feeds into label propagation; cluster
+        # id = min reachable doc_id. A propagation bug (early stop,
+        # asymmetric edges, lost label) hash-mismatches here.
+        "near_dup_clusters": f"""
+            {_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+            sig AS ({_minhash_sig_sql()}),
+            banded AS (
+              {_minhash_band_sql()}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.id < b.id
+            ),
+            est AS (
+              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.id = c.id_a
+              JOIN sig sb ON sb.id = c.id_b
+            ),
+            pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            closure(node, r) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+            )
+            SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+            FROM closure GROUP BY node
         """,
         "simhash_dups": f"""
             WITH toks AS ({_TOKS}),

@@ -1377,6 +1377,69 @@ class MinhashIndex:
         return self._pairs_for(new_banded, threshold, max_fanout)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """``(id, cluster_id)`` for every node appearing in ``pairs``,
+    where ``cluster_id`` is the smallest node id reachable through the
+    pair graph — the step after pair detection in a dedup pipeline
+    (keep the canonical doc per cluster, drop the rest).
+
+    Iterative min-label propagation over the symmetrized edge set:
+    each round every node takes the min of its own label and its
+    neighbors' labels (one equi-join + one hash-agg shuffle per
+    round), converging in O(graph diameter) rounds. Near-dup graphs
+    are unions of dense near-cliques, so 2–4 rounds in practice;
+    ``max_iter`` bounds the pathological chain. Each round is
+    materialized with ``localCheckpoint`` — iterative self-joins
+    otherwise stack a plan per round and Catalyst re-optimization,
+    not the data, becomes the bottleneck (on a cluster with a
+    checkpoint dir, ``checkpoint()`` gives the same cut with
+    executor-loss tolerance). Convergence = zero labels changed, read
+    off the just-materialized frame (no recompute). Isolated
+    documents never enter ``pairs`` and are their own implicit
+    singleton clusters — callers left-join and coalesce to the doc's
+    own id.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
+            .groupBy(F.col("e.dst").alias("id"))
+            .agg(F.min("l.lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.alias("l")
+            .join(nbr.alias("n"), F.col("l.id") == F.col("n.id"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.col("l.lbl").alias("old"),
+                F.least(
+                    F.col("l.lbl"), F.coalesce(F.col("n.nlbl"), F.col("l.lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        labels = stepped.select("id", "lbl")
+        if stepped.filter(F.col("old") != F.col("lbl")).count() == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def simhash_table(
     df: DataFrame,
     content_col: str = "text",

@@ -710,6 +710,20 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the MinHash near-dup pair graph:
+    connected components by min-label propagation, cluster id = the
+    smallest doc_id in the component (the canonical survivor a dedup
+    pipeline keeps). Value-checked against a DuckDB recursive-CTE
+    transitive closure over the identical (md5-affine) pair set."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=16, bands=4, hash_family="md5"
+    )
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3), value-checked via the
     md5-base 60-bit sketch (15-bit pigeonhole blocks) that DuckDB can

@@ -1039,3 +1039,35 @@ class TestStaleDeltaCrashWindow:
         assert idx.sig_store.delta_bucket_ids()  # fold engages again
         got = {(r["id"], tuple(r["sig"])) for r in idx.signatures().collect()}
         assert got == expected  # stale v2 delta cannot beat the v3 base
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from rfb_cnpj_etl_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+
+    def test_chain_converges_past_diameter(self, spark):
+        # a 6-node path: min label must travel 5 hops
+        got = self._cc(spark, [(i, i + 1) for i in range(5)])
+        assert got == {i: 0 for i in range(6)}
+
+    def test_disjoint_clusters_keep_own_minimum(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_max_iter_bounds_work(self, spark):
+        from rfb_cnpj_etl_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                   "id_a long, id_b long")
+        partial = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(df, max_iter=1).collect()
+        }
+        # one round: each node saw only direct neighbors
+        assert partial[5] == 4 and partial[1] == 0
