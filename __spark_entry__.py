@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": Q.ngram_jaccard_dups,
         "minhash_dups": Q.minhash_dups,
         "near_dup_clusters": Q.near_dup_clusters,
+        "dedup_canonical_docs": Q.dedup_canonical_docs,
         "minhash_incremental": Q.minhash_incremental,
         "simhash_dups": Q.simhash_dups,
         "doc_text_features": Q.doc_text_features,
@@ -775,6 +776,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, least(node, min(r)) AS cluster_id
             FROM closure GROUP BY node
+        """,
+        "dedup_canonical_docs": f"""
+            {_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+            sig AS ({_minhash_sig_sql()}),
+            banded AS (
+              {_minhash_band_sql()}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.id < b.id
+            ),
+            est AS (
+              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.id = c.id_a
+              JOIN sig sb ON sb.id = c.id_b
+            ),
+            pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            closure(node, r) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+            ),
+            victims AS (
+              SELECT node AS doc_id FROM closure
+              GROUP BY node HAVING least(node, min(r)) <> node
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
         """,
         "simhash_dups": f"""
             WITH toks AS ({_TOKS}),

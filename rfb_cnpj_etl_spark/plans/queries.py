@@ -724,6 +724,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: the corpus with every near-dup
+    cluster collapsed to its canonical (smallest-id) member. Non-
+    canonical cluster members are removed with one broadcast-able
+    anti-join against the (tiny relative to the corpus) victim list;
+    untouched documents pass through untouched."""
+    docs = t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(spark, sf_dir)
+    victims = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(victims, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3), value-checked via the
     md5-base 60-bit sketch (15-bit pigeonhole blocks) that DuckDB can
