@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_features": Q.doc_text_features,
         "doc_fingerprints": Q.doc_fingerprints,
         "embedding_near_dups": Q.embedding_near_dups,
+        "embedding_dup_clusters": Q.embedding_dup_clusters,
         "embedding_near_dups_exact": Q.embedding_near_dups_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
@@ -854,6 +855,33 @@ def oracle_sql() -> dict[str, str]:
               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
             )
             SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        "embedding_dup_clusters": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id AS id, v, {_lsh_bucket_sql("v")} AS bucket FROM e
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b2.id AS id_b
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+              WHERE round({_cos_sql("a.v", "b2.v")}, 6) >= 0.4
+            ),
+            ed AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            closure(node, r) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT c.node, ed.dst FROM closure c JOIN ed ON ed.src = c.r
+            )
+            SELECT node AS vec_id, least(node, min(r)) AS cluster_id
+            FROM closure GROUP BY node
         """,
         "embedding_near_dups_exact": """
             WITH e AS (

@@ -900,6 +900,17 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the embedding near-dup pair graph —
+    the same connected-components operator as the text modality
+    (near_dup_clusters), proving it is modality-agnostic: any pair
+    producer feeds it. Oracle: recursive-CTE closure over the identical
+    hyperplane-bucketed pair set."""
+    pairs = embedding_near_dups(spark, sf_dir)
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
 def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs twin of embedding_near_dups (BroadcastNestedLoop
     O(n²) — oracle-parity/baseline only, never the scale path)."""
