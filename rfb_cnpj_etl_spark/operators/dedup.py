@@ -1388,21 +1388,28 @@ def connected_components(
     pair graph — the step after pair detection in a dedup pipeline
     (keep the canonical doc per cluster, drop the rest).
 
-    Iterative min-label propagation over the symmetrized edge set:
-    each round every node takes the min of its own label and its
-    neighbors' labels (one equi-join + one hash-agg shuffle per
-    round), converging in O(graph diameter) rounds. Near-dup graphs
-    are unions of dense near-cliques, so 2–4 rounds in practice;
-    ``max_iter`` bounds the pathological chain. Each round is
-    materialized with ``localCheckpoint`` — iterative self-joins
-    otherwise stack a plan per round and Catalyst re-optimization,
-    not the data, becomes the bottleneck (on a cluster with a
-    checkpoint dir, ``checkpoint()`` gives the same cut with
-    executor-loss tolerance). Convergence = zero labels changed, read
-    off the just-materialized frame (no recompute). Isolated
-    documents never enter ``pairs`` and are their own implicit
-    singleton clusters — callers left-join and coalesce to the doc's
-    own id.
+    Min-label propagation with pointer jumping, per round:
+
+    1. every node takes the min of its own label and its neighbors'
+       labels (one equi-join + one hash-agg shuffle) — moves labels
+       one hop;
+    2. every node then re-resolves its label THROUGH the label table
+       (``lbl ← label_of(lbl)``, one more equi-join) — path
+       compression, doubling how far a round reaches.
+
+    The combination converges in O(log n) rounds even on a pure path
+    graph (Shiloach–Vishkin-style hybrid), where plain propagation
+    needs O(diameter); dense near-dup cliques finish in 2–3 rounds
+    either way. Each round is materialized with ``localCheckpoint`` —
+    iterative self-joins otherwise stack a plan per round and Catalyst
+    re-optimization, not the data, becomes the bottleneck (on a
+    cluster with a checkpoint dir, ``checkpoint()`` gives the same cut
+    with executor-loss tolerance). Convergence = zero labels changed,
+    read off the just-materialized frame (no recompute); exhausting
+    ``max_iter`` without converging RAISES rather than returning
+    silently-partial clusters. Isolated documents never enter
+    ``pairs`` and are their own implicit singleton clusters — callers
+    left-join and coalesce to the doc's own id.
     """
     a, b = F.col(id_a), F.col(id_b)
     edges = (
@@ -1422,7 +1429,7 @@ def connected_components(
             .groupBy(F.col("e.dst").alias("id"))
             .agg(F.min("l.lbl").alias("nlbl"))
         )
-        stepped = (
+        hopped = (
             labels.alias("l")
             .join(nbr.alias("n"), F.col("l.id") == F.col("n.id"), "left")
             .select(
@@ -1432,12 +1439,34 @@ def connected_components(
                     F.col("l.lbl"), F.coalesce(F.col("n.nlbl"), F.col("l.lbl"))
                 ).alias("lbl"),
             )
+        )
+        stepped = (
+            hopped.alias("x")
+            .join(
+                hopped.select(
+                    F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+                ).alias("j"),
+                F.col("x.lbl") == F.col("j.jid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.col("x.old").alias("old"),
+                F.least(
+                    F.col("x.lbl"), F.coalesce(F.col("j.jlbl"), F.col("x.lbl"))
+                ).alias("lbl"),
+            )
             .localCheckpoint()
         )
         labels = stepped.select("id", "lbl")
         if stepped.filter(F.col("old") != F.col("lbl")).count() == 0:
-            break
-    return labels.select("id", F.col("lbl").alias("cluster_id"))
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (pointer jumping makes rounds O(log n), so this "
+        "indicates a far larger component structure than near-dup graphs "
+        "produce)"
+    )
 
 
 def simhash_table(

@@ -1052,22 +1052,21 @@ class TestConnectedComponents:
         }
 
     def test_chain_converges_past_diameter(self, spark):
-        # a 6-node path: min label must travel 5 hops
-        got = self._cc(spark, [(i, i + 1) for i in range(5)])
-        assert got == {i: 0 for i in range(6)}
+        # a 64-node path (diameter 63): pointer jumping must close it
+        # in O(log n) rounds, far under the default max_iter
+        got = self._cc(spark, [(i, i + 1) for i in range(63)])
+        assert got == {i: 0 for i in range(64)}
 
     def test_disjoint_clusters_keep_own_minimum(self, spark):
         got = self._cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
-    def test_max_iter_bounds_work(self, spark):
+    def test_nonconvergence_raises_not_partial(self, spark):
+        import pytest as _pt
+
         from rfb_cnpj_etl_spark.operators.dedup import connected_components
 
-        df = spark.createDataFrame([(i, i + 1) for i in range(5)],
+        df = spark.createDataFrame([(i, i + 1) for i in range(20)],
                                    "id_a long, id_b long")
-        partial = {
-            r["id"]: r["cluster_id"]
-            for r in connected_components(df, max_iter=1).collect()
-        }
-        # one round: each node saw only direct neighbors
-        assert partial[5] == 4 and partial[1] == 0
+        with _pt.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=1).collect()
