@@ -191,7 +191,7 @@ class CdcEngine:
             entry.update(
                 self._update_index(
                     minhash_index, batch, batch_id, index_threshold,
-                    index_max_fanout,
+                    index_max_fanout, batch_rows,
                 )
             )
         return self.manifest.commit(entry)
@@ -207,6 +207,7 @@ class CdcEngine:
         batch_id: str,
         threshold: float,
         max_fanout: int | None = None,
+        batch_rows: int | None = None,
     ) -> dict:
         """Fold one (already normalized) micro-batch into the MinHash
         index and surface the near-dup pairs that become detectable with
@@ -235,6 +236,12 @@ class CdcEngine:
             threshold=threshold,
             pairs_out=pairs_path,
             max_fanout=max_fanout,
+            # a forced engine write strategy applies to the index too;
+            # the replay probe's window row count rides along so auto
+            # mode needs no extra count job (events ≥ changed keys —
+            # conservative toward COW)
+            mode=self.merge_mode,
+            batch_rows=batch_rows,
         )
         return {
             # count observed inside the pairs write — no re-read job

@@ -833,6 +833,7 @@ class MinhashIndex:
         pairs_out: str | None = None,
         max_fanout: int | None = None,
         mode: str = "auto",
+        batch_rows: int | None = None,
     ) -> tuple[dict, DataFrame | None]:
         """One index micro-batch: upsert ``docs``' signatures, drop
         ``deleted_ids``, and (optionally) return the near-dup pairs that
@@ -906,7 +907,9 @@ class MinhashIndex:
             changed = changed.unionByName(deleted).distinct()
         touched_sig = self._distinct_buckets(changed, self._sig_bucket())
 
-        if self._resolve_ingest_mode(mode, changed, touched_sig) == "mor":
+        if self._resolve_ingest_mode(
+            mode, changed, touched_sig, batch_rows
+        ) == "mor":
             metrics, new_banded = self._ingest_mor(
                 new_sigs, changed, deleted, touched_sig
             )
@@ -935,10 +938,9 @@ class MinhashIndex:
                     # AQE empty-relation propagation can eliminate the
                     # CollectMetrics node (StateTable._obs_counts has
                     # the same fallback); footer-only count of what was
-                    # just written — no data scan.
-                    n = sum(self._staged_rows(pairs_out).values()) or int(
-                        self.spark.read.parquet(pairs_out).count()
-                    )
+                    # just written — no data scan (the pairs output is a
+                    # flat parquet dir, not bucket-partitioned).
+                    n = self._parquet_rows(pairs_out)
                 metrics["pairs"] = n
                 metrics["pairs_path"] = pairs_out
                 pairs = self.spark.read.parquet(pairs_out)
@@ -955,12 +957,19 @@ class MinhashIndex:
         return metrics, pairs
 
     def _resolve_ingest_mode(
-        self, mode: str, changed: DataFrame, touched_sig: list[int]
+        self,
+        mode: str,
+        changed: DataFrame,
+        touched_sig: list[int],
+        batch_rows: int | None = None,
     ) -> str:
         """COW vs MOR for one index batch (StateTable._resolve_mode's
         twin). Auto = MOR iff the sig store exists, every touched
         bucket has a row estimate, the batch is small relative to them,
-        and no bucket of either store has hit the delta-file cap."""
+        and no bucket of either store has hit the delta-file cap.
+        ``batch_rows`` (any upper bound on the changed-id count — the
+        engine forwards its replay probe's free per-window row count)
+        skips the count job this decision otherwise runs per batch."""
         if mode == "cow" or not self.sig_store.exists():
             return "cow"
         if mode == "mor":
@@ -971,7 +980,8 @@ class MinhashIndex:
         if any(e is None for e in est):
             return "cow"  # untracked layout (legacy store) → populate via COW
         total = sum(est)
-        if total == 0 or changed.count() > self.MOR_ROW_RATIO * total:
+        n = batch_rows if batch_rows is not None else changed.count()
+        if total == 0 or n > self.MOR_ROW_RATIO * total:
             return "cow"
         for store in (self.sig_store, self.post_store):
             if any(
@@ -1004,6 +1014,23 @@ class MinhashIndex:
                     ).metadata.num_rows
             out[int(d.split("=", 1)[1])] = n
         return out
+
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Total rows of a flat (non-bucket-partitioned) parquet dir,
+        footer-only — no Spark job."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, fname)
+                    ).metadata.num_rows
+        return total
 
     def _ingest_cow(
         self,
@@ -1412,10 +1439,14 @@ def connected_components(
     left-join and coalesce to the doc's own id.
     """
     a, b = F.col(id_a), F.col(id_b)
+    # materialize the edge set ONCE: every round joins against it, and
+    # without the cut each round would re-execute the entire upstream
+    # pair-production plan (LSH band join / cosine bucket join)
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -501,14 +501,20 @@ class StateTable(BucketedParquetStore):
         res = super().compact(target_files_per_bucket, split_col=split)
         if res["compacted_buckets"]:
             # post-fold base is the whole truth → exact row estimates
-            # via footer-only counts (parquet aggregate pushdown)
-            self._row_est = {
-                int(r["bucket"]): int(r["n"])
-                for r in self._read_base()
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            # via footer-only counts (parquet aggregate pushdown). A
+            # compaction can empty the table outright (every key
+            # tombstoned in deltas) — then there is no base to read and
+            # the estimates are simply all-zero.
+            if self.exists():
+                self._row_est = {
+                    int(r["bucket"]): int(r["n"])
+                    for r in self._read_base()
+                    .groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                self._row_est = {}
             self._write_meta()
         return res
 

@@ -89,18 +89,24 @@ class Manifest:
         """Stream every persisted entry (snapshot lines then segments) in
         commit order, tolerating only a torn FINAL snapshot line (the
         append-fold crash window — that entry still lives in its segment
-        file). A torn middle line is real corruption and raises."""
-        lines: list[str] = []
+        file). A torn middle line is real corruption and raises. One-line
+        lookahead keeps this a true stream: peak memory is one line, not
+        the whole snapshot (the tail_entries bound would otherwise cap
+        retained dicts but not load-time memory)."""
         if os.path.exists(self.path):
             with open(self.path, encoding="utf-8") as f:
-                lines = [ln for ln in f if ln.strip()]
-        for i, ln in enumerate(lines):
-            try:
-                yield json.loads(ln)
-            except json.JSONDecodeError:
-                if i == len(lines) - 1:
-                    continue  # torn append tail; recovered from its segment
-                raise
+                prev: str | None = None
+                for ln in f:
+                    if not ln.strip():
+                        continue
+                    if prev is not None:
+                        yield json.loads(prev)  # middle line: raise on error
+                    prev = ln
+                if prev is not None:
+                    try:
+                        yield json.loads(prev)
+                    except json.JSONDecodeError:
+                        pass  # torn append tail; recovered from its segment
         for name in self._segment_files():
             with open(os.path.join(self.segs_dir, name), encoding="utf-8") as f:
                 yield json.load(f)
@@ -191,6 +197,14 @@ class Manifest:
         segs = self._segment_files()
         if not segs:
             return
+        # A previous fold may have crashed mid-append, leaving a torn
+        # (newline-less) final line. Appending straight after it would
+        # glue this fold's first entry onto the fragment — a malformed
+        # line that is then NOT final and fails every future load as
+        # corruption. Truncate the fragment first: its entry's segment
+        # file is guaranteed still present (segments are only deleted
+        # after a successful flush+fsync), so this very fold rewrites it.
+        self._trim_torn_tail()
         with open(self.path, "a", encoding="utf-8") as f:
             for name in segs:
                 with open(
@@ -204,6 +218,32 @@ class Manifest:
                 os.remove(os.path.join(self.segs_dir, name))
             except FileNotFoundError:
                 pass
+
+    def _trim_torn_tail(self) -> None:
+        """Truncate a newline-less final fragment off the snapshot (the
+        mid-append crash leftover) back to the last complete line."""
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, "rb+") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            if size == 0:
+                return
+            f.seek(size - 1)
+            if f.read(1) == b"\n":
+                return
+            pos = size
+            chunk = 1 << 16
+            while pos > 0:
+                start = max(0, pos - chunk)
+                f.seek(start)
+                data = f.read(pos - start)
+                nl = data.rfind(b"\n")
+                if nl != -1:
+                    f.truncate(start + nl + 1)
+                    return
+                pos = start
+            f.truncate(0)
 
     def is_applied(self, batch_id: str) -> bool:
         return batch_id in self._ids

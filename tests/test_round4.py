@@ -1070,3 +1070,40 @@ class TestConnectedComponents:
                                    "id_a long, id_b long")
         with _pt.raises(RuntimeError, match="did not converge"):
             connected_components(df, max_iter=1).collect()
+
+
+class TestTornTailFold:
+    def test_fold_after_torn_tail_does_not_corrupt(self, tmp_path):
+        """Review finding: a fold appending after a mid-append crash's
+        torn (newline-less) final line glued JSON onto the fragment —
+        one malformed MIDDLE line, failing every later load as
+        corruption. The fold must truncate the fragment first (its
+        entry's segment survives and is re-appended by the same fold)."""
+        path = str(tmp_path / "m.jsonl")
+        m = Manifest(path, compact_segments=4)
+        for i in range(8):  # two folds → snapshot holds entries
+            m.commit({"batch_id": f"b{i}", "lsn_lo": i, "lsn_hi": i,
+                      "schema_version": 1})
+        # simulate the mid-append crash: torn final line, and its entry
+        # still present as a segment (fold deletes segments only after
+        # the fsync'd append)
+        import json as _json
+
+        torn = {"batch_id": "b8", "lsn_lo": 8, "lsn_hi": 8,
+                "schema_version": 1, "seq": 8, "committed_at": 0.0}
+        seg = os.path.join(m.segs_dir, "seg-0000000008.json")
+        with open(seg, "w") as f:
+            _json.dump(torn, f)
+        with open(path, "a") as f:
+            f.write(_json.dumps(torn)[:25])  # torn, no newline
+        # restart: torn tail tolerated, b8 recovered from its segment
+        m2 = Manifest(path, compact_segments=4)
+        assert m2.is_applied("b8") and m2.count() == 9
+        # the next fold must not glue onto the fragment
+        for i in range(9, 13):
+            m2.commit({"batch_id": f"b{i}", "lsn_lo": i, "lsn_hi": i,
+                       "schema_version": 1})
+        m3 = Manifest(path, compact_segments=4)  # would raise pre-fix
+        assert m3.count() == 13
+        assert m3.high_watermark() == 12
+        assert {f"b{i}" for i in range(13)} <= m3.applied_batch_ids()
