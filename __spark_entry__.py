@@ -304,6 +304,41 @@ _DOC_FEATURES_SQL = r"""
 """
 
 
+def _minhash_closure_sql() -> str:
+    """Shared CTE chain for the clustering oracles: md5-affine MinHash
+    pairs (threshold 0.5) → symmetrized edges → recursive transitive
+    closure. Callers prepend the RECURSIVE-marked shingle CTE and
+    select from ``closure`` — one definition, so the two closure
+    oracles can never silently diverge from each other."""
+    return f"""sig AS ({_minhash_sig_sql()}),
+            banded AS (
+              {_minhash_band_sql()}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.id < b.id
+            ),
+            est AS (
+              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.id = c.id_a
+              JOIN sig sb ON sb.id = c.id_b
+            ),
+            pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            closure(node, r) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": f"""
@@ -748,65 +783,13 @@ def oracle_sql() -> dict[str, str]:
         # asymmetric edges, lost label) hash-mismatches here.
         "near_dup_clusters": f"""
             {_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
-            sig AS ({_minhash_sig_sql()}),
-            banded AS (
-              {_minhash_band_sql()}
-            ),
-            cand AS (
-              SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a
-              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-                           AND a.id < b.id
-            ),
-            est AS (
-              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
-              FROM cand c
-              JOIN sig sa ON sa.id = c.id_a
-              JOIN sig sb ON sb.id = c.id_b
-            ),
-            pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-            e AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs
-            ),
-            closure(node, r) AS (
-              SELECT src, dst FROM e
-              UNION
-              SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
-            )
+            {_minhash_closure_sql()}
             SELECT node AS doc_id, least(node, min(r)) AS cluster_id
             FROM closure GROUP BY node
         """,
         "dedup_canonical_docs": f"""
             {_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
-            sig AS ({_minhash_sig_sql()}),
-            banded AS (
-              {_minhash_band_sql()}
-            ),
-            cand AS (
-              SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a
-              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-                           AND a.id < b.id
-            ),
-            est AS (
-              SELECT c.id_a, c.id_b, {_minhash_est_sql()} AS est_jaccard
-              FROM cand c
-              JOIN sig sa ON sa.id = c.id_a
-              JOIN sig sb ON sb.id = c.id_b
-            ),
-            pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-            e AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs
-            ),
-            closure(node, r) AS (
-              SELECT src, dst FROM e
-              UNION
-              SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
-            ),
+            {_minhash_closure_sql()},
             victims AS (
               SELECT node AS doc_id FROM closure
               GROUP BY node HAVING least(node, min(r)) <> node

@@ -997,22 +997,14 @@ class MinhashIndex:
         — no Spark job); feeds the sig store's row estimates."""
         import os
 
-        import pyarrow.parquet as pq
-
         out: dict[int, int] = {}
         if not os.path.isdir(staging):
             return out
         for d in os.listdir(staging):
-            if not d.startswith("bucket="):
-                continue
-            bd = os.path.join(staging, d)
-            n = 0
-            for fname in os.listdir(bd):
-                if fname.endswith(".parquet"):
-                    n += pq.ParquetFile(
-                        os.path.join(bd, fname)
-                    ).metadata.num_rows
-            out[int(d.split("=", 1)[1])] = n
+            if d.startswith("bucket="):
+                out[int(d.split("=", 1)[1])] = MinhashIndex._parquet_rows(
+                    os.path.join(staging, d)
+                )
         return out
 
     @staticmethod
@@ -1460,6 +1452,9 @@ def connected_components(
             .groupBy(F.col("e.dst").alias("id"))
             .agg(F.min("l.lbl").alias("nlbl"))
         )
+        # materialized before the jump self-join: both sides of that
+        # join read `hopped`, and without the cut the nbr join+agg
+        # subtree would execute once per side every round
         hopped = (
             labels.alias("l")
             .join(nbr.alias("n"), F.col("l.id") == F.col("n.id"), "left")
@@ -1470,6 +1465,7 @@ def connected_components(
                     F.col("l.lbl"), F.coalesce(F.col("n.nlbl"), F.col("l.lbl"))
                 ).alias("lbl"),
             )
+            .localCheckpoint()
         )
         stepped = (
             hopped.alias("x")

@@ -504,7 +504,9 @@ class StateTable(BucketedParquetStore):
             # via footer-only counts (parquet aggregate pushdown). A
             # compaction can empty the table outright (every key
             # tombstoned in deltas) — then there is no base to read and
-            # the estimates are simply all-zero.
+            # every bucket is KNOWN-empty: record explicit zeros (an
+            # absent key means "untracked" and forces the conservative
+            # COW path, which the full fold just proved unnecessary).
             if self.exists():
                 self._row_est = {
                     int(r["bucket"]): int(r["n"])
@@ -514,7 +516,7 @@ class StateTable(BucketedParquetStore):
                     .collect()
                 }
             else:
-                self._row_est = {}
+                self._row_est = {b: 0 for b in range(self.buckets)}
             self._write_meta()
         return res
 

@@ -1107,3 +1107,30 @@ class TestTornTailFold:
         assert m3.count() == 13
         assert m3.high_watermark() == 12
         assert {f"b{i}" for i in range(13)} <= m3.applied_batch_ids()
+
+
+class TestEmptyCompact:
+    def test_compact_on_fully_tombstoned_table(self, spark, tmp_table_dir):
+        """Review finding: compact() re-seeded row estimates by reading
+        the base AFTER the fold — which crashed ('unable to infer
+        schema') when the compaction emptied the table outright. The
+        emptied path must succeed and record known-zero estimates."""
+        st = StateTable(spark, tmp_table_dir, buckets=4)
+        st.merge(log_df(spark, seed_rows(20)))  # cow seed
+        st.merge(
+            log_df(
+                spark,
+                [row("r", f"p{i}", None, 100 + i, op="delete")
+                 for i in range(20)],
+            ),
+            mode="mor",
+        )
+        assert st.delta_bucket_ids()
+        res = st.compact()
+        assert res["compacted_buckets"] > 0
+        assert not st.exists()  # every bucket emptied out
+        assert st._row_est == {b: 0 for b in range(4)}
+        assert not st.delta_bucket_ids()
+        # the table keeps working: a fresh batch COWs in normally
+        st.merge(log_df(spark, [row("r", "new", "v", 200)]))
+        assert state_dict(st) == {("r", "new"): ("v", 200)}
