@@ -767,6 +767,15 @@ class MinhashIndex:
                 if os.path.isdir(src) or b not in staged:
                     store._swap_in(src, f"{store.path}/bucket={b}")
             store._write_meta()
+            # The COW batch folded the touched buckets' deltas into the
+            # rewritten base — clear them here exactly as the normal
+            # path does after its swaps. Leaving them would let a stale
+            # MOR UPSERT outlive a COW DELETE of the same id: the delete
+            # removes the base row entirely, so there is no newer-seq
+            # base row for the seq-LWW fold to outrank the stale delta
+            # with, and the id is resurrected (then folded into the base
+            # permanently by the next compact/rebucket).
+            store.clear_delta_buckets(ent["touched"])
         os.remove(jp)
         for ent in journal["stores"]:
             shutil.rmtree(ent["staging"], ignore_errors=True)
