@@ -177,8 +177,25 @@ def cmd_maintain(args) -> int:
 
 
 def cmd_posting_skew(args) -> int:
+    import os
+
     from .operators.dedup import MinhashIndex
 
+    # MinhashIndex.open CREATES an index (params marker + store dirs)
+    # when the path is fresh — a diagnostic verb must not do that on a
+    # typo'd/empty path; fail loudly instead.
+    marker = os.path.join(args.minhash_index, MinhashIndex.PARAMS_FILE)
+    if not os.path.exists(marker):
+        print(
+            json.dumps(
+                {
+                    "error": f"no MinHash index at {args.minhash_index} "
+                    f"(missing {MinhashIndex.PARAMS_FILE})"
+                }
+            ),
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("rfb_cnpj_etl_spark_cli")
     idx = MinhashIndex.open(spark, args.minhash_index)
     top = [

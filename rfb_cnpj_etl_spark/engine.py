@@ -55,6 +55,18 @@ class MaintenancePolicy:
     #: micro-batch, and their counts already live in the manifest, so
     #: old ones are re-derivable garbage. None = keep everything.
     pairs_retention_batches: int | None = 16
+    #: within-bucket sort columns applied when a store is compacted,
+    #: keyed by store name ("state", "index_sig", "index_post"):
+    #: sorted buckets make parquet row-group min/max stats selective so
+    #: non-key predicates skip row groups at scan time — the analog of
+    #: the reference's 18 secondary indexes (db/schema.py:70-75).
+    sort_within_buckets: dict[str, list[str]] | None = None
+    #: surface a cap_fanout recommendation when the MinHash index's
+    #: largest posting list exceeds this (one maintenance-time agg over
+    #: the posting store; None = skip the check). A list of C ids makes
+    #: O(C²) candidates through its band key — the operator knob this
+    #: feeds is ``max_fanout`` on ingest/incremental_pairs.
+    max_posting_list: int | None = None
 
     def plan(self, health: dict) -> list[str]:
         """Actions a store's health report calls for."""
@@ -67,6 +79,20 @@ class MaintenancePolicy:
         ):
             actions.append("rebucket")
         return actions
+
+    def offending_buckets(self, health: dict) -> list[int]:
+        """Buckets whose base+delta file count breached the compaction
+        threshold — the only ones a compaction should rewrite. From the
+        health report's per-bucket metadata (no Spark job)."""
+        per = health.get("per_bucket", {})
+        dper = health.get("delta_per_bucket", {})
+        return sorted(
+            b
+            for b in set(per) | set(dper)
+            if per.get(b, {}).get("files", 0)
+            + dper.get(b, {}).get("files", 0)
+            > self.max_files_per_bucket
+        )
 
 
 def default_normalize(df: DataFrame) -> DataFrame:
@@ -408,7 +434,17 @@ class CdcEngine:
             h = store.health()
             for what in policy.plan(h):
                 if what == "compact" and policy.auto_compact:
-                    res = store.compact()
+                    # rewrite ONLY the buckets that breached the
+                    # threshold: at steady-state MOR churn a whole-table
+                    # compact would claw back exactly the write
+                    # amplification MOR removed (one hot bucket at 9
+                    # files must not trigger an O(table) rewrite).
+                    res = store.compact(
+                        bucket_ids=policy.offending_buckets(h),
+                        sort_within_buckets=(
+                            policy.sort_within_buckets or {}
+                        ).get(name),
+                    )
                     actions.append(
                         {"store": name, "action": "compact", **res}
                     )
@@ -435,6 +471,32 @@ class CdcEngine:
             # reopen, so the two can evolve independently.
             run("index_sig", minhash_index.sig_store, rebucketable=True)
             run("index_post", minhash_index.post_store, rebucketable=True)
+            if policy.max_posting_list is not None:
+                # one maintenance-time agg over the posting store (the
+                # shuffle carries one int per key — posting_skew's
+                # docstring scopes it to maintenance, and this is where
+                # its report finally gets consumed): a viral posting
+                # list makes O(C²) candidates per probe, and the
+                # recommendation names the offending keys plus the
+                # max_fanout that would cap them.
+                hot = [
+                    {
+                        "band": int(r["band"]),
+                        "bkey": str(r["bkey"]),
+                        "n_ids": int(r["n_ids"]),
+                    }
+                    for r in minhash_index.posting_skew(top_n=20).collect()
+                    if int(r["n_ids"]) > policy.max_posting_list
+                ]
+                if hot:
+                    recommendations.append(
+                        {
+                            "store": "index_post",
+                            "action": "cap_fanout",
+                            "hot_keys": hot,
+                            "recommended_max_fanout": policy.max_posting_list,
+                        }
+                    )
             pruned = self._prune_pair_outputs(
                 minhash_index, policy.pairs_retention_batches
             )

@@ -580,6 +580,37 @@ class _LwwIndexStore(BucketedParquetStore):
         self._write_meta()
         return res
 
+    def compact(
+        self,
+        target_files_per_bucket: int = 1,
+        split_col=None,
+        bucket_ids: list[int] | None = None,
+        sort_within_buckets: list[str] | None = None,
+    ) -> dict:
+        """Compaction plus row-estimate reseed (StateTable.compact's
+        twin). MOR appends only ever GROW the estimates (delete
+        tombstones count as +rows); after delete-heavy churn the fold
+        shrinks the base, so without the reseed the auto COW/MOR
+        decision keeps comparing batches against inflated totals."""
+        res = super().compact(
+            target_files_per_bucket,
+            split_col=split_col,
+            bucket_ids=bucket_ids,
+            sort_within_buckets=sort_within_buckets,
+        )
+        if res["compacted_buckets"]:
+            import os as _os
+
+            from .store import parquet_footer_rows
+
+            for b in res["bucket_ids"]:
+                d = f"{self.path}/bucket={b}"
+                self._row_est[b] = (
+                    parquet_footer_rows(d) if _os.path.isdir(d) else 0
+                )
+            self._write_meta()
+        return res
+
     # -- merge-on-read fold --------------------------------------------
 
     def _fold_delta(self, base, delta):
@@ -916,15 +947,48 @@ class MinhashIndex:
             changed = changed.unionByName(deleted).distinct()
         touched_sig = self._distinct_buckets(changed, self._sig_bucket())
 
+        # Current stored signatures of the changed ids (pre-update
+        # state, bucket-pruned) — shared by both write paths: the COW
+        # path merges against them; both paths derive the changed ids'
+        # OLD band keys from them (exact stale-posting removal /
+        # vacated-key tombstones). Hoisted here so ``touched_post`` is
+        # known BEFORE the COW/MOR decision — the delta-cap check must
+        # look at the posting buckets this batch actually touches.
+        if self.sig_store.exists() or self.sig_store.delta_bucket_ids():
+            try:
+                cur = self.sig_store.with_seq(
+                    self.sig_store.read_buckets(touched_sig)
+                )
+            except ValueError:
+                # every touched bucket is brand new (no base, no delta)
+                cur = None
+        else:
+            cur = None
+        old_changed = (
+            cur.join(changed, "id", "leftsemi").select("id", "sig")
+            if cur is not None
+            else new_sigs.limit(0).select("id", "sig")
+        )
+        old_banded = self._banded(old_changed)
+        new_banded = self._banded(new_sigs)
+        touched_post = self._distinct_buckets(
+            old_banded.select("band", "bkey").unionByName(
+                new_banded.select("band", "bkey")
+            ),
+            self._post_bucket(),
+        )
+
         if self._resolve_ingest_mode(
-            mode, changed, touched_sig, batch_rows
+            mode, changed, touched_sig, touched_post, batch_rows
         ) == "mor":
-            metrics, new_banded = self._ingest_mor(
-                new_sigs, changed, deleted, touched_sig
+            metrics = self._ingest_mor(
+                new_sigs, deleted, touched_sig, touched_post,
+                old_banded, new_banded,
             )
         else:
-            metrics, new_banded = self._ingest_cow(
-                new_sigs, changed, touched_sig
+            metrics = self._ingest_cow(
+                new_sigs, changed, touched_sig, touched_post, cur,
+                new_banded,
             )
 
         pairs = None
@@ -970,12 +1034,18 @@ class MinhashIndex:
         mode: str,
         changed: DataFrame,
         touched_sig: list[int],
+        touched_post: list[int],
         batch_rows: int | None = None,
     ) -> str:
         """COW vs MOR for one index batch (StateTable._resolve_mode's
         twin). Auto = MOR iff the sig store exists, every touched
         bucket has a row estimate, the batch is small relative to them,
-        and no bucket of either store has hit the delta-file cap.
+        and no TOUCHED bucket of either store has hit the delta-file
+        cap — touched-only exactly like StateTable._resolve_mode: a
+        capped bucket this batch never touches cannot degrade this
+        batch's reads, and the forced COW would not clear it anyway
+        (COW rewrites only touched buckets), so a global check would
+        disable MOR permanently after any one bucket ever capped.
         ``batch_rows`` (any upper bound on the changed-id count — the
         engine forwards its replay probe's free per-window row count)
         skips the count job this decision otherwise runs per batch."""
@@ -992,12 +1062,12 @@ class MinhashIndex:
         n = batch_rows if batch_rows is not None else changed.count()
         if total == 0 or n > self.MOR_ROW_RATIO * total:
             return "cow"
-        for store in (self.sig_store, self.post_store):
-            if any(
-                v >= self.DELTA_FILES_CAP
-                for v in store.delta_file_counts().values()
-            ):
-                return "cow"
+        sig_d = self.sig_store.delta_file_counts()
+        if any(sig_d.get(b, 0) >= self.DELTA_FILES_CAP for b in touched_sig):
+            return "cow"
+        post_d = self.post_store.delta_file_counts()
+        if any(post_d.get(b, 0) >= self.DELTA_FILES_CAP for b in touched_post):
+            return "cow"
         return "mor"
 
     @staticmethod
@@ -1038,12 +1108,17 @@ class MinhashIndex:
         new_sigs: DataFrame,
         changed: DataFrame,
         touched_sig: list[int],
-    ) -> tuple[dict, DataFrame]:
+        touched_post: list[int],
+        cur: DataFrame | None,
+        new_banded: DataFrame,
+    ) -> dict:
         """Copy-on-write ingest: rewrite the touched buckets of both
         stores (staged, journaled, swapped atomically). Stale postings
-        are anti-joined away via the changed ids' CURRENT band keys —
-        no tombstones survive a COW bucket. Touched deltas are folded
-        by the staging read and their files cleared after the swap."""
+        are anti-joined away via the changed ids' CURRENT band keys
+        (``touched_post`` spans old ∪ new keys — derived in ingest()
+        from the pre-swap state ``cur``), so no tombstones survive a
+        COW bucket. Touched deltas are folded by the staging read and
+        their files cleared after the swap."""
         import json
         import os
         import shutil
@@ -1056,16 +1131,11 @@ class MinhashIndex:
         new_with_bucket = new_sigs.withColumn(
             "bucket", self._sig_bucket()
         ).withColumn(SEQ, F.lit(seq_sig).cast("long"))
-        if self.sig_store.exists():
-            cur = self.sig_store.with_seq(
-                self.sig_store.read_buckets(touched_sig)
-            )
-            old_changed = cur.join(changed, "id", "leftsemi").select("id", "sig")
+        if cur is not None:
             merged_sig = cur.join(changed, "id", "left_anti").unionByName(
                 new_with_bucket
             )
         else:
-            old_changed = new_sigs.limit(0)
             merged_sig = new_with_bucket
         sig_staging = f"{self.sig_store.path}.staging"
         staged_sig = self.sig_store.stage_write(merged_sig, sig_staging)
@@ -1077,19 +1147,7 @@ class MinhashIndex:
             )
 
         # ---- stage the posting store ((band,bkey)-bucket pruned) -------
-        # Old band keys come from the CURRENT stored signatures of the
-        # changed ids (read above, pre-swap), so every stale posting row
-        # of an updated/deleted doc is inside the touched partition set
-        # and gets anti-joined away — no tombstones, no staleness.
         post_bucket = self._post_bucket()
-        old_banded = self._banded(old_changed)
-        new_banded = self._banded(new_sigs)
-        touched_post = self._distinct_buckets(
-            old_banded.select("band", "bkey").unionByName(
-                new_banded.select("band", "bkey")
-            ),
-            post_bucket,
-        )
         new_post = new_banded.withColumn("bucket", post_bucket).withColumn(
             SEQ, F.lit(seq_post).cast("long")
         )
@@ -1163,22 +1221,25 @@ class MinhashIndex:
         os.remove(jp)
         shutil.rmtree(sig_staging, ignore_errors=True)
         shutil.rmtree(post_staging, ignore_errors=True)
-        return metrics, new_banded
+        return metrics
 
     def _ingest_mor(
         self,
         new_sigs: DataFrame,
-        changed: DataFrame,
         deleted: DataFrame | None,
         touched_sig: list[int],
-    ) -> tuple[dict, DataFrame]:
+        touched_post: list[int],
+        old_banded: DataFrame,
+        new_banded: DataFrame,
+    ) -> dict:
         """Merge-on-read ingest: append the batch as per-bucket delta
         files — upserts plus tombstones for deleted ids (sig store) and
         vacated band keys (posting store) — O(batch) write I/O. Reads
         fold base + deltas by (key, seq) LWW (_LwwIndexStore). Posting
-        delta first: its tombstones derive from the pre-batch sig rows,
-        which a crash-replay can only re-derive while the sig store is
-        still unmodified."""
+        delta first: its tombstones derive from the pre-batch sig rows
+        (``old_banded``, read by ingest() before any write), which a
+        crash-replay can only re-derive while the sig store is still
+        unmodified."""
         import shutil
 
         SEQ = _LwwIndexStore.SEQ_COL
@@ -1186,14 +1247,6 @@ class MinhashIndex:
         seq_sig = self.sig_store.allocate_seq()
         seq_post = self.post_store.allocate_seq()
 
-        try:
-            cur = self.sig_store.read_buckets(touched_sig)
-        except ValueError:
-            # every touched bucket is brand new (no base dir, no delta)
-            cur = new_sigs.limit(0)
-        old_changed = cur.join(changed, "id", "leftsemi").select("id", "sig")
-        old_banded = self._banded(old_changed)
-        new_banded = self._banded(new_sigs)
         sig_type = new_sigs.schema["sig"].dataType
 
         # ---- posting delta: new postings + vacated-key tombstones ------
@@ -1210,12 +1263,6 @@ class MinhashIndex:
             )
             .withColumn(SEQ, F.lit(seq_post).cast("long"))
             .withColumn("bucket", self._post_bucket())
-        )
-        touched_post = self._distinct_buckets(
-            old_banded.select("band", "bkey").unionByName(
-                new_banded.select("band", "bkey")
-            ),
-            self._post_bucket(),
         )
         post_staging = f"{self.post_store.path}.delta_staging"
         staged_post = self.post_store.stage_write(
@@ -1276,7 +1323,7 @@ class MinhashIndex:
             "sig_delta_files": sig_files,
             "post_delta_files": post_files,
         }
-        return metrics, new_banded
+        return metrics
 
     def update(
         self,
@@ -1306,6 +1353,15 @@ class MinhashIndex:
         how an operator finds those keys and picks a ``max_fanout``.
         Full posting scan (aggregation only — the shuffle carries one
         int per key), so run it as maintenance, not per batch."""
+        if not self.post_store.exists() and not self.post_store.delta_bucket_ids():
+            # a fresh/empty index has no posting data to infer a schema
+            # from — typed-empty result instead of a raw Spark
+            # 'unable to infer schema' error (bkey's type follows the
+            # hash family: xxhash64 → long, md5 → joined-lane string)
+            bkey_t = "string" if self.hash_family == "md5" else "long"
+            return self.spark.createDataFrame(
+                [], f"band int, bkey {bkey_t}, n_ids long"
+            )
         return (
             self.post_store.read()
             .groupBy("band", "bkey")

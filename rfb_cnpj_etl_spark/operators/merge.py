@@ -46,6 +46,7 @@ from .dedup import last_writer_wins_agg
 from .store import (  # noqa: F401  (re-exported for compatibility)
     BucketedParquetStore,
     key_bucket,
+    parquet_footer_rows,
     path_health,
 )
 
@@ -486,10 +487,17 @@ class StateTable(BucketedParquetStore):
         self._write_meta()
         return res
 
-    def compact(self, target_files_per_bucket: int = 1) -> dict:
+    def compact(
+        self,
+        target_files_per_bucket: int = 1,
+        bucket_ids: list[int] | None = None,
+        sort_within_buckets: list[str] | None = None,
+    ) -> dict:
         """Per-bucket small-file compaction — see the base class (which
-        also folds merge-on-read deltas into the rewritten base). The
-        >1-files split hash must be seeded INDEPENDENTLY of key_bucket:
+        also folds merge-on-read deltas into the rewritten base and,
+        with ``bucket_ids``, rewrites ONLY the offending buckets —
+        maintenance stays O(offending), never O(table)). The >1-files
+        split hash must be seeded INDEPENDENTLY of key_bucket:
         xxhash64(keys) % files is fully determined by xxhash64(keys) %
         buckets whenever files divides buckets."""
         split = None
@@ -498,25 +506,29 @@ class StateTable(BucketedParquetStore):
                 F.xxhash64(*[F.col(k) for k in self.keys], F.lit(0x5EED)),
                 F.lit(target_files_per_bucket),
             )
-        res = super().compact(target_files_per_bucket, split_col=split)
+        res = super().compact(
+            target_files_per_bucket,
+            split_col=split,
+            bucket_ids=bucket_ids,
+            sort_within_buckets=sort_within_buckets,
+        )
         if res["compacted_buckets"]:
-            # post-fold base is the whole truth → exact row estimates
-            # via footer-only counts (parquet aggregate pushdown). A
-            # compaction can empty the table outright (every key
-            # tombstoned in deltas) — then there is no base to read and
-            # every bucket is KNOWN-empty: record explicit zeros (an
-            # absent key means "untracked" and forces the conservative
-            # COW path, which the full fold just proved unnecessary).
-            if self.exists():
-                self._row_est = {
-                    int(r["bucket"]): int(r["n"])
-                    for r in self._read_base()
-                    .groupBy("bucket")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-            else:
+            # post-fold base is the whole truth for the rewritten
+            # buckets → exact row estimates via footer-only pyarrow
+            # counts (no Spark job). A compaction can empty a bucket
+            # outright (every key tombstoned in deltas) — record the
+            # explicit zero (an absent key means "untracked" and forces
+            # the conservative COW path, which the fold just proved
+            # unnecessary). A FULL compaction that emptied the whole
+            # table zeroes every bucket.
+            if bucket_ids is None and not self.exists():
                 self._row_est = {b: 0 for b in range(self.buckets)}
+            else:
+                for b in res["bucket_ids"]:
+                    d = f"{self.path}/bucket={b}"
+                    self._row_est[b] = (
+                        parquet_footer_rows(d) if os.path.isdir(d) else 0
+                    )
             self._write_meta()
         return res
 

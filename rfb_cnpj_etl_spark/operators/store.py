@@ -49,6 +49,22 @@ def key_bucket(keys: list[str], buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)).cast("int")
 
 
+def parquet_footer_rows(path: str) -> int:
+    """Total rows under ``path`` from parquet footers only (pyarrow
+    metadata — no Spark job). Subclasses reseed their per-bucket row
+    estimates from this after compaction/rebucket."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, fname)
+                ).metadata.num_rows
+    return total
+
+
 class BucketedParquetStore:
     """Shared machinery for bucket-partitioned parquet stores.
 
@@ -138,13 +154,28 @@ class BucketedParquetStore:
             payload["bucket_keys"] = self.bucket_keys
         return payload
 
-    def _write_meta(self, into: str | None = None, buckets: int | None = None) -> None:
+    def _write_meta(
+        self,
+        into: str | None = None,
+        buckets: int | None = None,
+        fresh_layout: bool = False,
+    ) -> None:
         """Write the layout marker (atomically) into the live dir — or
         into ``into`` (a staging dir), so the marker can ride an atomic
-        whole-dir rename instead of trailing it."""
+        whole-dir rename instead of trailing it.
+
+        ``fresh_layout`` strips per-bucket row estimates from the
+        payload: a rebucket invalidates their bucket keying, and the
+        marker staged with the new layout must not carry OLD-keyed but
+        valid-looking estimates through the crash window between the
+        directory swap and the subclass's post-rebucket reseed (a
+        reopen there should read "untracked" and take the conservative
+        COW path until reseeded)."""
         payload = self._meta_payload()
         if buckets is not None:
             payload["buckets"] = buckets
+        if fresh_layout:
+            payload.pop("row_est", None)
         meta = os.path.join(into or self.path, self.META_FILE)
         tmp = meta + ".part"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -387,23 +418,49 @@ class BucketedParquetStore:
         self,
         target_files_per_bucket: int = 1,
         split_col: Column | None = None,
+        bucket_ids: list[int] | None = None,
+        sort_within_buckets: list[str] | None = None,
     ) -> dict:
         """Per-bucket small-file compaction (OPTIMIZE file-size health):
-        rewrite each bucket down to ≤ ``target_files_per_bucket`` files.
-        Uses its OWN staging dir (merge() wipes ``.staging`` on entry —
-        sharing it would turn a crashed compaction into data loss at the
-        next merge) and the same rename-aside bucket swap as merge, so a
-        crash at any point leaves every bucket recoverable.
+        rewrite each selected bucket down to ≤ ``target_files_per_bucket``
+        files. Uses its OWN staging dir (merge() wipes ``.staging`` on
+        entry — sharing it would turn a crashed compaction into data loss
+        at the next merge) and the same rename-aside bucket swap as
+        merge, so a crash at any point leaves every bucket recoverable.
+
+        ``bucket_ids`` selects WHICH buckets to rewrite (None = all).
+        This is what keeps maintenance O(offending buckets) rather than
+        O(table): at steady-state merge-on-read churn one hot bucket
+        breaching the file-count threshold must not trigger a rewrite of
+        a 10⁹-row store — the policy passes only the buckets whose
+        base+delta file count breached (engine.MaintenancePolicy).
+
+        ``sort_within_buckets`` orders rows inside each rewritten bucket
+        by the given columns before the write, so parquet row-group
+        min/max statistics on those columns become selective and a
+        non-key predicate (``lang = 'py'``) skips row groups at scan
+        time — the analog of the reference's 18 secondary indexes
+        (db/schema.py:70-75,119-128) under Iceberg-style sort orders.
+        The sort satisfies the writer's required partition-column
+        ordering (bucket is the prefix), so no extra sort is inserted.
 
         ``split_col`` is required for >1 file per bucket (subclasses
         supply a deterministic second partition key — see
         StateTable.compact); repartitioning on the bucket value alone
         maps each bucket to exactly one output file."""
-        bucket_ids = sorted(
+        all_ids = sorted(
             set(self._bucket_dirs(self.path)) | set(self.delta_bucket_ids())
         )
+        if bucket_ids is None:
+            bucket_ids = all_ids
+        else:
+            bucket_ids = sorted(set(bucket_ids) & set(all_ids))
         if not bucket_ids:
-            return {"compacted_buckets": 0, "buckets": self.buckets}
+            return {
+                "compacted_buckets": 0,
+                "buckets": self.buckets,
+                "bucket_ids": [],
+            }
         staging = f"{self.path}.compacting"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
@@ -422,7 +479,14 @@ class BucketedParquetStore:
             )
         else:
             df = df.repartition(len(bucket_ids), "bucket")
+        if sort_within_buckets:
+            df = df.sortWithinPartitions("bucket", *sort_within_buckets)
         df.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        bytes_written = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(staging)
+            for f in files
+        )
         for b in bucket_ids:
             src = f"{staging}/bucket={b}"
             if os.path.isdir(src) or os.path.isdir(f"{self.path}/bucket={b}"):
@@ -432,7 +496,12 @@ class BucketedParquetStore:
         # deltas are folded into the rewritten base; a crash before this
         # cleanup leaves already-folded rows the next fold LWW-no-ops.
         self.clear_delta_buckets(bucket_ids)
-        return {"compacted_buckets": len(bucket_ids), "buckets": self.buckets}
+        return {
+            "compacted_buckets": len(bucket_ids),
+            "buckets": self.buckets,
+            "bucket_ids": bucket_ids,
+            "bytes_written": bytes_written,
+        }
 
     def rebucket(self, new_buckets: int) -> dict:
         """B → B′ layout migration (the ``OPTIMIZE``/re-cluster analog of
@@ -487,8 +556,12 @@ class BucketedParquetStore:
         # post-swap _write_meta alone opened exactly that window — a
         # marker-less new-layout table would resolve B from a stale
         # manifest and a later merge would mix hash moduli, letting
-        # stale versions escape LWW).
-        self._write_meta(into=staging, buckets=new_buckets)
+        # stale versions escape LWW). fresh_layout: the staged marker
+        # must NOT carry row estimates still keyed by OLD bucket ids —
+        # a crash before the subclass's post-rebucket reseed would
+        # otherwise reopen with wrong-keyed but valid-looking estimates
+        # feeding the COW/MOR decision.
+        self._write_meta(into=staging, buckets=new_buckets, fresh_layout=True)
         # Whole-table rename-aside swap. Crash between the two renames
         # leaves the intact pre-rebucket table in {path}.old, which
         # _recover() restores on the next construction — the rebucket is
@@ -502,7 +575,9 @@ class BucketedParquetStore:
         os.replace(self.path, old)
         os.replace(staging, self.path)
         self.buckets = new_buckets
-        self._write_meta()  # refresh (same content as the staged marker)
+        # refresh = the staged marker's content (still estimate-free;
+        # subclasses reseed and write the full payload right after)
+        self._write_meta(fresh_layout=True)
         shutil.rmtree(old, ignore_errors=True)
         # deltas were folded into the new base by the read() above; the
         # crash window between the swap and this clear is covered by the

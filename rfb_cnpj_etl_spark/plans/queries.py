@@ -57,6 +57,13 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rows of final state the proof query may pin on the driver (≈ a few
+#: hundred MB at typical content sizes); larger states come back as a
+#: parquet scan instead — the driver-pin pattern must not leak into
+#: production-scale paths.
+MOR_REPLAY_COLLECT_MAX = 200_000
+
+
 def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final state by a FULL engine replay through the bucketed state
     table with the merge-on-read path exercised: a bulk COW window
@@ -94,9 +101,22 @@ def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repo", "path", "commit", "lang", "content", "lsn",
             "content_sha256",
         )
-        # pin on the driver so the work dir can be removed before return
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        n = out.count()
+        if n <= MOR_REPLAY_COLLECT_MAX:
+            # small result: pin on the driver so the work dir can be
+            # removed before return
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        # large result: never pin O(table) rows on the driver —
+        # materialize to a parquet dir OUTSIDE the removed work area
+        # and return the scan (cleaned at interpreter exit)
+        import atexit
+
+        keep = tempfile.mkdtemp(prefix="mor_replay_out_", dir=work)
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        dest = os.path.join(keep, "state")
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

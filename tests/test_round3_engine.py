@@ -305,10 +305,10 @@ class TestRebucketMarkerCrashWindow:
         st = eng.state
         orig = st._write_meta
 
-        def crash_on_refresh(into=None, buckets=None):
+        def crash_on_refresh(into=None, buckets=None, fresh_layout=False):
             if into is None and buckets is None:
                 raise RuntimeError("crash before post-swap marker refresh")
-            return orig(into=into, buckets=buckets)
+            return orig(into=into, buckets=buckets, fresh_layout=fresh_layout)
 
         st._write_meta = crash_on_refresh
         with pytest.raises(RuntimeError):

@@ -952,12 +952,20 @@ class TestMorMaintenanceLoop:
         h = idx.sig_store.health()
         assert h["delta_files"] >= 4
         policy = MaintenancePolicy(max_files_per_bucket=3)
+        offending = policy.offending_buckets(h)
+        assert offending  # ≥1 bucket breached the threshold
         report = eng.maintain(policy, minhash_index=idx)
-        compacted = {
-            a["store"] for a in report["actions"] if a["action"] == "compact"
-        }
-        assert "index_sig" in compacted
-        assert not idx.sig_store.delta_bucket_ids()  # deltas folded
+        sig_actions = [
+            a for a in report["actions"]
+            if a["action"] == "compact" and a["store"] == "index_sig"
+        ]
+        assert sig_actions
+        # round-5 selective compaction: ONLY the breaching buckets are
+        # rewritten (non-offending buckets may legitimately keep their
+        # few deltas), and afterwards no bucket exceeds the threshold
+        assert sig_actions[0]["bucket_ids"] == offending
+        assert not set(idx.sig_store.delta_bucket_ids()) & set(offending)
+        assert idx.sig_store.health()["max_files_per_bucket"] <= 3
         ids = {r["id"] for r in idx.signatures().collect()}
         assert {f"c{j}" for j in range(4)} <= ids and len(ids) == 34
 
