@@ -121,6 +121,7 @@ class CdcEngine:
         normalize: Callable[[DataFrame], DataFrame] | None = default_normalize,
         registry: SchemaRegistry | None = None,
         merge_mode: str = "auto",
+        commit_protocol: str = "rename",
     ) -> None:
         self.spark = spark
         self.manifest = Manifest(manifest_path)
@@ -139,7 +140,12 @@ class CdcEngine:
                 f"buckets={buckets} was requested; run `rebucket` to change B"
             )
         self.state = StateTable(
-            spark, state_path, keys or CODE_KEY, buckets or recorded or 32
+            spark,
+            state_path,
+            keys or CODE_KEY,
+            buckets or recorded or 32,
+            # fresh-table default; an existing table's marker wins
+            commit_protocol=commit_protocol,
         )
         if salt_buckets is not None:
             import warnings

@@ -508,12 +508,16 @@ class _LwwIndexStore(BucketedParquetStore):
     SEQ_COL = "iseq"
     OP_COL = "iop"
 
-    def __init__(self, spark, path, buckets, bucket_keys, fold_keys):
+    def __init__(
+        self, spark, path, buckets, bucket_keys, fold_keys,
+        commit_protocol: str = "rename",
+    ):
         self.fold_keys = fold_keys
         self._row_est: dict[int, int] = {}
         self._next_seq = 0
         super().__init__(
-            spark, path, buckets, bucket_keys=bucket_keys, prefer_marker=True
+            spark, path, buckets, bucket_keys=bucket_keys,
+            prefer_marker=True, commit_protocol=commit_protocol,
         )
         self._load_lww_meta()
 
@@ -680,6 +684,7 @@ class MinhashIndex:
         bands: int = 4,
         hash_family: str = "xxhash64",
         buckets: int = 64,
+        commit_protocol: str = "rename",
     ) -> None:
         assert num_hashes % bands == 0
         self.spark = spark
@@ -692,6 +697,7 @@ class MinhashIndex:
         #: layout marker is the ground truth for its own B
         #: (prefer_marker), so the two stores can be rebucketed
         #: independently by maintenance and still reopen correctly.
+        #: commit_protocol likewise: each store's marker records it.
         self.buckets = buckets
         import os
 
@@ -702,6 +708,7 @@ class MinhashIndex:
             buckets,
             bucket_keys=["id"],
             fold_keys=["id"],
+            commit_protocol=commit_protocol,
         )
         self.post_store = _LwwIndexStore(
             spark,
@@ -709,6 +716,7 @@ class MinhashIndex:
             buckets,
             bucket_keys=["band", "bkey"],
             fold_keys=["band", "bkey", "id"],
+            commit_protocol=commit_protocol,
         )
         self._check_params_marker()
         self._recover_journal()
@@ -772,15 +780,15 @@ class MinhashIndex:
         return os.path.join(self.path, self.JOURNAL)
 
     def _recover_journal(self) -> None:
-        """Redo a crashed two-store swap from the journal. For each
-        store entry: a touched bucket whose staged dir still exists is
-        swapped now; one whose staged dir is gone but was staged is
-        already swapped (the rename consumed it) — skip; one never
-        staged means the bucket emptied out — remove the live dir
-        (idempotent). Re-crashing mid-redo just redoes less next time."""
+        """Redo a crashed two-store commit from the journal by re-running
+        each store's :meth:`BucketedParquetStore.commit_staged` with the
+        journaled (staging, touched, staged, token) — commit_staged is
+        redo-safe under BOTH protocols (rename: consumed buckets are
+        skipped; pointer: same-token copies are idempotent and a dropped
+        staging means done). Re-crashing mid-redo just redoes less next
+        time."""
         import json
         import os
-        import shutil
 
         jp = self._journal_path()
         if not os.path.exists(jp):
@@ -791,25 +799,22 @@ class MinhashIndex:
             store = (
                 self.sig_store if ent["store"] == "sig" else self.post_store
             )
-            staging, staged = ent["staging"], set(ent["staged"])
-            os.makedirs(store.path, exist_ok=True)
-            for b in ent["touched"]:
-                src = f"{staging}/bucket={b}"
-                if os.path.isdir(src) or b not in staged:
-                    store._swap_in(src, f"{store.path}/bucket={b}")
-            store._write_meta()
+            store.commit_staged(
+                ent["staging"],
+                ent["touched"],
+                staged=ent["staged"],
+                token=ent.get("token"),
+            )
             # The COW batch folded the touched buckets' deltas into the
             # rewritten base — clear them here exactly as the normal
-            # path does after its swaps. Leaving them would let a stale
-            # MOR UPSERT outlive a COW DELETE of the same id: the delete
-            # removes the base row entirely, so there is no newer-seq
-            # base row for the seq-LWW fold to outrank the stale delta
-            # with, and the id is resurrected (then folded into the base
-            # permanently by the next compact/rebucket).
+            # path does after its commits. Leaving them would let a
+            # stale MOR UPSERT outlive a COW DELETE of the same id: the
+            # delete removes the base row entirely, so there is no
+            # newer-seq base row for the seq-LWW fold to outrank the
+            # stale delta with, and the id is resurrected (then folded
+            # into the base permanently by the next compact/rebucket).
             store.clear_delta_buckets(ent["touched"])
         os.remove(jp)
-        for ent in journal["stores"]:
-            shutil.rmtree(ent["staging"], ignore_errors=True)
 
     # -- helpers ---------------------------------------------------------
 
@@ -1189,7 +1194,13 @@ class MinhashIndex:
         for b in touched_sig:
             self.sig_store._row_est[b] = sig_rows.get(b, 0)
 
-        # ---- journal, then swap both stores ----------------------------
+        # ---- journal, then commit both stores --------------------------
+        # per-store commit tokens ride the journal so a pointer-protocol
+        # redo re-copies to the SAME immutable names (idempotent)
+        import uuid as _uuid
+
+        sig_token = _uuid.uuid4().hex[:12]
+        post_token = _uuid.uuid4().hex[:12]
         journal = {
             "stores": [
                 {
@@ -1197,12 +1208,14 @@ class MinhashIndex:
                     "staging": sig_staging,
                     "touched": touched_sig,
                     "staged": staged_sig,
+                    "token": sig_token,
                 },
                 {
                     "store": "post",
                     "staging": post_staging,
                     "touched": touched_post,
                     "staged": staged_post,
+                    "token": post_token,
                 },
             ]
         }
@@ -1211,16 +1224,18 @@ class MinhashIndex:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(journal, f)
         os.replace(tmp, jp)
-        self.sig_store.swap_buckets(sig_staging, touched_sig)
-        self.post_store.swap_buckets(post_staging, touched_post)
+        self.sig_store.commit_staged(
+            sig_staging, touched_sig, staged=staged_sig, token=sig_token
+        )
+        self.post_store.commit_staged(
+            post_staging, touched_post, staged=staged_post, token=post_token
+        )
         # touched deltas were folded into the rewritten base by the
         # staging reads; drop their files (a crash before this leaves
         # already-folded rows that lose the seq-LWW to the base)
         self.sig_store.clear_delta_buckets(touched_sig)
         self.post_store.clear_delta_buckets(touched_post)
         os.remove(jp)
-        shutil.rmtree(sig_staging, ignore_errors=True)
-        shutil.rmtree(post_staging, ignore_errors=True)
         return metrics
 
     def _ingest_mor(

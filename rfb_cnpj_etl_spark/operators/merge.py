@@ -96,12 +96,19 @@ class StateTable(BucketedParquetStore):
         content_col: str = "content",
         lsn_col: str = "lsn",
         op_col: str = "op",
+        commit_protocol: str = "rename",
     ) -> None:
         self.keys = keys or CODE_KEY
         self.content_col = content_col
         self.lsn_col = lsn_col
         self.op_col = op_col
-        super().__init__(spark, path, buckets, bucket_keys=self.keys)
+        super().__init__(
+            spark,
+            path,
+            buckets,
+            bucket_keys=self.keys,
+            commit_protocol=commit_protocol,
+        )
         #: estimated current rows per bucket (exact after a COW rewrite
         #: of the bucket; += appended winners for MOR batches — an upper
         #: bound). Drives the auto COW/MOR decision; persisted in the
@@ -120,7 +127,7 @@ class StateTable(BucketedParquetStore):
 
     def _meta_payload(self) -> dict:
         return {
-            "buckets": self.buckets,
+            **super()._meta_payload(),
             "keys": self.keys,
             "row_est": {str(b): n for b, n in self._row_est.items()},
         }
@@ -151,6 +158,7 @@ class StateTable(BucketedParquetStore):
             shutil.rmtree(self.path)
         prepared = self._prepare(like.limit(0)).drop("op")
         prepared.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        self._live = {}  # empty layout: nothing committed yet
         self._write_meta()
 
     def _prepare(self, df: DataFrame) -> DataFrame:
@@ -425,15 +433,14 @@ class StateTable(BucketedParquetStore):
         bytes_written = self._dir_bytes(staging)
         counts = self._obs_counts(obs)
         if counts is not None:
-            # refresh the row estimates BEFORE the swap writes the
+            # refresh the row estimates BEFORE the commit writes the
             # layout marker, so the marker carries them for free
             for b in touched:
                 if counts.get(b, 0) > 0:
                     self._row_est[b] = counts[b]
                 else:
                     self._row_est.pop(b, None)
-        self.swap_buckets(staging, touched)
-        shutil.rmtree(staging, ignore_errors=True)
+        self.commit_staged(staging, touched, staged=staged)
         # a COW rewrite of a bucket folds its deltas into the new base —
         # drop them (crash before this: stale deltas are LWW no-ops)
         self.clear_delta_buckets(touched)

@@ -26,11 +26,19 @@ PUT; any catalog/DynamoDB lock works identically). The recovery
 invariants carry over unchanged because they only ever reason about
 "pointer committed" vs "pointer not committed": a crash before the
 metadata commit leaves the old pointer (old files still present,
-staging garbage collected later), after it the new one. Nothing in the
-engine assumes directory rename beyond this module, so porting =
-swapping ``_swap_in``/``_write_meta`` for pointer updates; the
-per-bucket manifest lineage (plans/checkpoint.py) is the same pattern
-at batch granularity.
+staging garbage collected later), after it the new one.
+
+That translation is IMPLEMENTED here behind
+``commit_protocol="pointer"`` (:meth:`BucketedParquetStore.commit_staged`):
+staged files are copied to immutable token-prefixed names (object
+PUTs — an existing object is never renamed or overwritten), the
+marker's per-bucket live-file lists are committed in one atomic marker
+write, replaced files are garbage-collected afterwards, and recovery
+(:meth:`_gc_unreferenced`) deletes whatever the committed map does not
+reference. The rename protocol stays the default where atomic
+directory rename exists (HDFS/local); both run the same crash-recovery
+test suite. The per-bucket manifest lineage (plans/checkpoint.py) is
+the same pattern at batch granularity.
 """
 
 from __future__ import annotations
@@ -99,7 +107,10 @@ class BucketedParquetStore:
         buckets: int = 32,
         bucket_keys: list[str] | None = None,
         prefer_marker: bool = False,
+        commit_protocol: str = "rename",
     ) -> None:
+        if commit_protocol not in ("rename", "pointer"):
+            raise ValueError(f"unknown commit_protocol {commit_protocol!r}")
         self.spark = spark
         self.path = path
         self.buckets = buckets
@@ -108,8 +119,26 @@ class BucketedParquetStore:
         #: for this store (subclasses with bespoke exprs override
         #: :meth:`bucket_col` instead).
         self.bucket_keys = bucket_keys
+        # the whole-dir restore must run before the marker can be read
+        # (a crashed rebucket may have left the table only in `.old`)
+        self._restore_whole_old()
+        stored = self._read_marker()
+        # protocol + live-file map: the marker — swapped atomically WITH
+        # the data — is the ground truth; the ctor arg is a fresh-store
+        # default (reopening a pointer store without the flag keeps it
+        # a pointer store).
+        self.commit_protocol = stored.get("protocol", commit_protocol)
+        self._marker_present = bool(stored)
+        #: pointer protocol only: committed live files per bucket. THIS
+        #: map, committed in one atomic marker write, IS the table —
+        #: data files are immutable and written once under unique
+        #: names; anything on disk it does not reference is garbage.
+        self._live: dict[int, list[str]] = {
+            int(b): list(fs) for b, fs in (stored.get("live") or {}).items()
+        }
         self._recover()
-        marker = self.layout_buckets(path)
+        marker = stored.get("buckets")
+        marker = int(marker) if marker is not None else None
         if marker is not None and marker != self.buckets:
             if prefer_marker:
                 # caller treats `buckets` as a fresh-store default and
@@ -148,8 +177,20 @@ class BucketedParquetStore:
         with open(meta, encoding="utf-8") as f:
             return int(json.load(f)["buckets"])
 
+    def _read_marker(self) -> dict:
+        meta = os.path.join(self.path, self.META_FILE)
+        if not os.path.exists(meta):
+            return {}
+        with open(meta, encoding="utf-8") as f:
+            return json.load(f)
+
     def _meta_payload(self) -> dict:
-        payload: dict = {"buckets": self.buckets}
+        payload: dict = {
+            "buckets": self.buckets,
+            "protocol": self.commit_protocol,
+        }
+        if self.commit_protocol == "pointer":
+            payload["live"] = {str(b): fs for b, fs in self._live.items()}
         if self.bucket_keys is not None:
             payload["bucket_keys"] = self.bucket_keys
         return payload
@@ -182,16 +223,22 @@ class BucketedParquetStore:
             json.dump(payload, f)
         os.replace(tmp, meta)
 
+    def _restore_whole_old(self) -> None:
+        """Restore a crashed rebucket's intact pre-swap table: the
+        ``{path}.old`` directory exists only between the rebucket's two
+        renames (staging is discarded on rerun)."""
+        whole_old = f"{self.path}.old"
+        if not os.path.isdir(self.path) and os.path.isdir(whole_old):
+            os.replace(whole_old, self.path)
+        shutil.rmtree(whole_old, ignore_errors=True)
+
     def _recover(self) -> None:
         """Undo a crashed swap. Invariants of the swap protocols below:
         a ``*.old`` directory exists ONLY before the corresponding
-        manifest commit, so restoring it and letting the batch/rebucket
-        re-apply is always correct (LWW idempotence)."""
-        whole_old = f"{self.path}.old"
-        if not os.path.isdir(self.path) and os.path.isdir(whole_old):
-            # rebucket crashed between its two renames → restore the
-            # intact pre-rebucket table (staging is discarded on rerun)
-            os.replace(whole_old, self.path)
+        manifest commit (rename protocol), and a data file the live map
+        does not reference is never committed (pointer protocol) — so
+        rolling back and letting the batch/rebucket re-apply is always
+        correct (LWW idempotence)."""
         if os.path.isdir(self.path):
             for d in os.listdir(self.path):
                 if d.startswith("bucket=") and d.endswith(".old"):
@@ -201,7 +248,21 @@ class BucketedParquetStore:
                         shutil.rmtree(src)  # swap completed; stale trash
                     else:
                         os.replace(src, dst)  # swap crashed mid-bucket
-        shutil.rmtree(whole_old, ignore_errors=True)
+        if self.commit_protocol == "pointer":
+            if not self._marker_present and any(
+                d.startswith("bucket=")
+                for d in (
+                    os.listdir(self.path) if os.path.isdir(self.path) else []
+                )
+            ):
+                # fail loud: GC'ing under an empty live map would delete
+                # foreign (marker-less legacy) data wholesale
+                raise ValueError(
+                    f"pointer protocol requested for {self.path}, which "
+                    "holds bucket data but no layout marker; reopen with "
+                    "the rename protocol or migrate explicitly"
+                )
+            self._gc_unreferenced()
         # Delta root laid out under a different modulus than the live
         # base: rebucket folds every delta into the new base BEFORE the
         # swap, so such leftovers are already-applied garbage from a
@@ -215,6 +276,33 @@ class BucketedParquetStore:
             and dmarker != base_marker
         ):
             shutil.rmtree(self.delta_root, ignore_errors=True)
+
+    def _gc_unreferenced(self) -> None:
+        """Pointer-protocol recovery: a parquet file in a bucket dir
+        that the committed live map does not reference is either an
+        uncommitted half-done commit (roll back — the caller's
+        manifest/journal re-drives the batch) or a replaced file whose
+        post-commit GC was interrupted; delete both. A committed live
+        file that is MISSING is real corruption — fail loudly."""
+        if not os.path.isdir(self.path):
+            return
+        for d in os.listdir(self.path):
+            if not d.startswith("bucket=") or d.endswith(".old"):
+                continue
+            b = int(d.split("=", 1)[1])
+            bdir = os.path.join(self.path, d)
+            keep = set(self._live.get(b, []))
+            have = {e for e in os.listdir(bdir) if e.endswith(".parquet")}
+            missing = sorted(keep - have)
+            if missing:
+                raise ValueError(
+                    f"store at {self.path} bucket {b} is missing committed "
+                    f"live files {missing}"
+                )
+            for e in have - keep:
+                os.remove(os.path.join(bdir, e))
+            if not keep:
+                shutil.rmtree(bdir, ignore_errors=True)
 
     def _swap_in(self, src: str, dst: str) -> None:
         """Replace ``dst`` with ``src`` without a window where neither
@@ -233,9 +321,18 @@ class BucketedParquetStore:
     # -- read ----------------------------------------------------------
 
     def exists(self) -> bool:
+        if self.commit_protocol == "pointer":
+            return bool(self._live)
         return os.path.isdir(self.path) and any(
             e.startswith("bucket=") for e in os.listdir(self.path)
         )
+
+    def base_bucket_ids(self) -> list[int]:
+        """Bucket ids currently holding base data (pointer: the live
+        map's keys; rename: the bucket dirs)."""
+        if self.commit_protocol == "pointer":
+            return sorted(self._live)
+        return self._bucket_dirs(self.path)
 
     def _bucket_dirs(self, root: str) -> list[int]:
         if not os.path.isdir(root):
@@ -246,13 +343,31 @@ class BucketedParquetStore:
             if d.startswith("bucket=") and not d.endswith(".old")
         )
 
+    def _live_files(self, bucket_ids: list[int]) -> list[str]:
+        return [
+            f"{self.path}/bucket={b}/{e}"
+            for b in sorted(bucket_ids)
+            for e in self._live.get(b, [])
+        ]
+
     def _read_base(self) -> DataFrame:
+        if self.commit_protocol == "pointer":
+            # the live map IS the table: explicit committed files only
+            # (directory contents may include pre-GC garbage)
+            return self.spark.read.option("basePath", self.path).parquet(
+                *self._live_files(sorted(self._live))
+            )
         return self.spark.read.option("basePath", self.path).parquet(self.path)
 
     def _read_base_buckets(self, bucket_ids: list[int]) -> DataFrame | None:
         """Partition-pruned base scan; None when no requested bucket has
-        a base dir (callers fold None with the delta side, or treat it
+        base data (callers fold None with the delta side, or treat it
         as empty)."""
+        if self.commit_protocol == "pointer":
+            files = self._live_files(bucket_ids)
+            if not files:
+                return self._read_base().limit(0) if self.exists() else None
+            return self.spark.read.option("basePath", self.path).parquet(*files)
         paths = [
             f"{self.path}/bucket={b}"
             for b in bucket_ids
@@ -403,14 +518,102 @@ class BucketedParquetStore:
         )
 
     def swap_buckets(self, staging: str, touched: list[int]) -> None:
-        """Swap each touched bucket dir from staging into the live store
-        (rename-aside; a staged bucket that is absent means the bucket
-        emptied out and its live dir is removed), then refresh the
-        layout marker. Crash anywhere → _recover restores consistency."""
+        """Rename-protocol primitive kept for compatibility (staging is
+        left to the caller); :meth:`commit_staged` is the protocol-aware
+        entry every engine write path uses."""
         os.makedirs(self.path, exist_ok=True)
         for b in touched:
             self._swap_in(f"{staging}/bucket={b}", f"{self.path}/bucket={b}")
         self._write_meta()
+
+    def _staged_bucket_ids(self, staging: str) -> list[int]:
+        if not os.path.isdir(staging):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("bucket=")
+        )
+
+    def commit_staged(
+        self,
+        staging: str,
+        touched: list[int],
+        staged: list[int] | None = None,
+        token: str | None = None,
+    ) -> None:
+        """Publish a staged per-bucket rewrite into the live store and
+        drop the staging. Safe to RE-RUN after a crash at any point —
+        the redo path a journal/manifest-driven recovery relies on.
+
+        **rename protocol** (default; needs atomic directory rename —
+        HDFS/local): each touched bucket dir is swapped in rename-aside.
+        Redo: a staged bucket whose dir is gone was already swapped (the
+        rename consumed it) and is skipped; a touched-but-never-staged
+        bucket emptied out and its live dir is removed (idempotent).
+
+        **pointer protocol** (object-store translation — S3-class, no
+        atomic rename): staged files are COPIED to immutable
+        token-prefixed names inside the live bucket dirs (PUTs of new
+        objects; an existing object is never renamed or overwritten),
+        then the per-bucket live-file lists are committed in ONE atomic
+        marker write (conditional-PUT/catalog-swap on a real object
+        store), then replaced files are garbage-collected and the
+        staging dropped. Crash before the marker commit → reads still
+        see the old lists (consistent) and recovery GCs the orphans;
+        after it → recovery merely finishes the GC. Re-running with the
+        recorded ``token`` overwrite-copies the same bytes to the same
+        names — a no-op (sources outlive the commit: staging is dropped
+        last). A fully-dropped staging means the commit completed."""
+        if staged is None:
+            staged = self._staged_bucket_ids(staging)
+        os.makedirs(self.path, exist_ok=True)
+        if self.commit_protocol == "rename":
+            staged_set = set(staged)
+            for b in touched:
+                src = f"{staging}/bucket={b}"
+                if os.path.isdir(src) or b not in staged_set:
+                    self._swap_in(src, f"{self.path}/bucket={b}")
+            self._write_meta()
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        if not os.path.isdir(staging):
+            return  # staging dropped only after the commit → already done
+        token = token or uuid.uuid4().hex[:12]
+        for b in touched:
+            src_dir = f"{staging}/bucket={b}"
+            names = (
+                sorted(
+                    e for e in os.listdir(src_dir) if e.endswith(".parquet")
+                )
+                if os.path.isdir(src_dir)
+                else []
+            )
+            dst_dir = f"{self.path}/bucket={b}"
+            if names:
+                os.makedirs(dst_dir, exist_ok=True)
+                targets = []
+                for e in names:
+                    dst = os.path.join(dst_dir, f"c-{token}-{e}")
+                    tmp = dst + ".part"
+                    shutil.copyfile(os.path.join(src_dir, e), tmp)
+                    os.replace(tmp, dst)
+                    targets.append(f"c-{token}-{e}")
+                self._live[b] = targets
+            else:
+                self._live.pop(b, None)  # bucket emptied out
+        self._write_meta()  # ONE atomic write = the commit point
+        for b in touched:
+            dst_dir = f"{self.path}/bucket={b}"
+            if not os.path.isdir(dst_dir):
+                continue
+            keep = set(self._live.get(b, []))
+            for e in os.listdir(dst_dir):
+                if e.endswith(".parquet") and e not in keep:
+                    os.remove(os.path.join(dst_dir, e))
+            if not keep:
+                shutil.rmtree(dst_dir, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
     # -- maintenance -----------------------------------------------------
 
@@ -449,7 +652,7 @@ class BucketedParquetStore:
         StateTable.compact); repartitioning on the bucket value alone
         maps each bucket to exactly one output file."""
         all_ids = sorted(
-            set(self._bucket_dirs(self.path)) | set(self.delta_bucket_ids())
+            set(self.base_bucket_ids()) | set(self.delta_bucket_ids())
         )
         if bucket_ids is None:
             bucket_ids = all_ids
@@ -487,12 +690,7 @@ class BucketedParquetStore:
             for root, _dirs, files in os.walk(staging)
             for f in files
         )
-        for b in bucket_ids:
-            src = f"{staging}/bucket={b}"
-            if os.path.isdir(src) or os.path.isdir(f"{self.path}/bucket={b}"):
-                self._swap_in(src, f"{self.path}/bucket={b}")
-        self._write_meta()
-        shutil.rmtree(staging, ignore_errors=True)
+        self.commit_staged(staging, bucket_ids)
         # deltas are folded into the rewritten base; a crash before this
         # cleanup leaves already-folded rows the next fold LWW-no-ops.
         self.clear_delta_buckets(bucket_ids)
@@ -550,6 +748,19 @@ class BucketedParquetStore:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        if self.commit_protocol == "pointer":
+            # the staged marker must reference the staged files: on a
+            # real object store a rebucket writes a NEW table root and
+            # flips the catalog pointer — the whole-dir rename below is
+            # that flip's local analog, and the live map rides it.
+            self._live = {
+                b: sorted(
+                    e
+                    for e in os.listdir(f"{staging}/bucket={b}")
+                    if e.endswith(".parquet")
+                )
+                for b in self._staged_bucket_ids(staging)
+            }
         # The new-layout marker is written INTO staging so it rides the
         # atomic rename below: a crash between the two os.replace calls
         # must never leave a new-layout table without its marker (the

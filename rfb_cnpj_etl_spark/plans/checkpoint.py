@@ -31,18 +31,28 @@ Driver memory is bounded: aggregates (count, high watermark, schema
 version, current buckets) are tracked incrementally and only a tail of
 ``tail_entries`` full entries stays in memory — ``entries()`` streams
 the snapshot from disk in the rare case a caller wants history beyond
-the tail. The applied-id set is the one intrinsically O(batches)
-structure (it IS the exactly-once check); at the production scale of
-~10² batches per 10¹⁰ events it is trivially small. The files are tiny
-JSON on the driver — at cluster scale they live on the object store
-next to the table (same pattern, ``fs.rename`` as the commit), or
-become the Iceberg snapshot log when the runtime is present.
+the tail. The applied-id set is bounded too: the engine's replay ids
+are LSN windows (``lsn_<lo>_<hi>``), committed in increasing LSN order
+by a single writer, so an id evicted from the exact in-memory set folds
+losslessly into a watermark summary — any whole window at or below the
+folded watermark contains only events the state already absorbed
+(exactly the rule ``replay`` itself applies when it filters the
+changelog above ``high_watermark()``). Non-LSN ids (maintenance,
+rebucket — which embed the manifest count and are never reissued; or a
+standalone caller's own ids) are kept exact for the manifest's life:
+they are rare by construction, and an exotic caller replaying an
+ancient custom id past the tail degrades to at-least-once, which the
+LWW merge makes idempotent. The files are tiny JSON on the driver — at
+cluster scale they live on the object store next to the table (same
+pattern, ``fs.rename`` as the commit), or become the Iceberg snapshot
+log when the runtime is present.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from collections import deque
 
@@ -68,6 +78,10 @@ class Manifest:
         #: disk and is streamed on demand by entries().
         self._tail: deque[dict] = deque(maxlen=tail_entries)
         self._ids: set[str] = set()
+        #: highest lsn_hi among LSN-window ids evicted from the exact
+        #: set — the lossless summary in-order commits allow (module
+        #: docstring); -1 = nothing folded.
+        self._folded_hw = -1
         self._count = 0
         self._hw = -1
         self._schema_version = 0
@@ -111,8 +125,20 @@ class Manifest:
             with open(os.path.join(self.segs_dir, name), encoding="utf-8") as f:
                 yield json.load(f)
 
+    #: the replay loop's window-batch id shape (engine.py flush())
+    _LSN_ID = re.compile(r"^lsn_(-?\d+)_(-?\d+)$")
+
     def _track(self, e: dict) -> None:
-        """Fold one entry into the incremental aggregates + tail."""
+        """Fold one entry into the incremental aggregates + tail. An
+        LSN-window id evicted from the tail leaves the exact set and
+        folds into the watermark summary (exact answers either way —
+        see the module docstring); non-LSN ids stay exact."""
+        if len(self._tail) == self._tail.maxlen:
+            ev = self._tail[0]  # evicted by the append below
+            m = self._LSN_ID.match(ev["batch_id"])
+            if m:
+                self._ids.discard(ev["batch_id"])
+                self._folded_hw = max(self._folded_hw, int(m.group(2)))
         self._ids.add(e["batch_id"])
         self._count += 1
         self._tail.append(e)
@@ -127,7 +153,9 @@ class Manifest:
         for e in self._iter_disk():
             # a crash between snapshot fold and segment deletion leaves an
             # entry in BOTH — first occurrence wins (identical content).
-            if e["batch_id"] in self._ids:
+            # is_applied (not raw set membership) so a duplicate whose id
+            # already folded past the tail still dedups.
+            if self.is_applied(e["batch_id"]):
                 continue
             self._track(e)
 
@@ -157,6 +185,9 @@ class Manifest:
         return self._hw
 
     def applied_batch_ids(self) -> set[str]:
+        """Exact applied ids currently held in memory (every non-LSN id
+        ever committed + the LSN windows within the tail bound — folded
+        LSN windows answer through :meth:`is_applied` instead)."""
         return set(self._ids)
 
     def schema_version(self) -> int:
@@ -173,7 +204,7 @@ class Manifest:
     def commit(self, entry: dict) -> dict:
         """Atomically append one entry: O(entry) — a single segment file
         renamed into place (the reference's .part/os.replace pattern)."""
-        if entry["batch_id"] in self._ids:
+        if self.is_applied(entry["batch_id"]):
             return entry  # already committed → no-op (exactly-once)
         entry = {**entry, "committed_at": time.time(), "seq": self._count}
         os.makedirs(self.segs_dir, exist_ok=True)
@@ -246,4 +277,13 @@ class Manifest:
             f.truncate(0)
 
     def is_applied(self, batch_id: str) -> bool:
-        return batch_id in self._ids
+        """Exactly-once membership: the exact in-memory set, else — for
+        an LSN-window id — the folded-watermark rule: in-order
+        single-writer commits mean every event at or below the folded
+        watermark is already in the state, so any whole window under it
+        is applied (the same rule replay's ``> high_watermark`` filter
+        applies to individual events)."""
+        if batch_id in self._ids:
+            return True
+        m = self._LSN_ID.match(batch_id)
+        return bool(m) and int(m.group(2)) <= self._folded_hw

@@ -175,32 +175,38 @@ class TestCrashRecovery:
         }
         return sig, post
 
+    @pytest.mark.parametrize("protocol", ["rename", "pointer"])
     @pytest.mark.parametrize("fail_store", ["sig", "post"])
     def test_crash_between_swaps_redone_from_journal(
-        self, spark, tmp_path, fail_store
+        self, spark, tmp_path, fail_store, protocol
     ):
-        idx = MinhashIndex(spark, str(tmp_path / "idx"), buckets=16, **PARAMS)
+        idx = MinhashIndex(
+            spark, str(tmp_path / "idx"), buckets=16,
+            commit_protocol=protocol, **PARAMS,
+        )
         b1 = _docs(spark, _corpus_rows(80))
         idx.update(b1)
 
         b2_rows = [_near_dup(_corpus_rows(80)[2], 300), (301, "totally new words")]
         b2 = _docs(spark, b2_rows)
-        # crash BEFORE this store's swap runs. ingest swaps sig first,
-        # then post — so fail_store="sig" crashes with NEITHER store
-        # swapped (journal present, both stagings intact) and
-        # fail_store="post" crashes with sig swapped but post torn (the
-        # cross-store inconsistency ADVICE r2 flagged).
+        # crash BEFORE this store's commit runs. ingest commits sig
+        # first, then post — so fail_store="sig" crashes with NEITHER
+        # store committed (journal present, both stagings intact) and
+        # fail_store="post" crashes with sig committed but post torn
+        # (the cross-store inconsistency ADVICE r2 flagged).
         store = idx.sig_store if fail_store == "sig" else idx.post_store
 
-        def boom(staging, touched):
+        def boom(staging, touched, staged=None, token=None):
             raise RuntimeError("simulated crash mid-swap")
 
-        store.swap_buckets = boom
+        store.commit_staged = boom
         with pytest.raises(RuntimeError):
             idx.update(b2)
 
         # a fresh construction replays the journal and converges
+        # (protocol comes back from the stores' own layout markers)
         recovered = MinhashIndex(spark, str(tmp_path / "idx"), buckets=16, **PARAMS)
+        assert recovered.sig_store.commit_protocol == protocol
         sig = {
             (r["id"], tuple(r["sig"])) for r in recovered.signatures().collect()
         }

@@ -484,3 +484,204 @@ class TestMorReplaySizeGuard:
         assert got == expected
         # it really is a parquet scan (not a driver-pinned localRelation)
         assert "mor_replay_out_" in out.inputFiles()[0]
+
+
+# ---------------------------------------------------------------------------
+# Pointer commit protocol (VERDICT r4 stretch 7): the object-store
+# translation implemented — immutable token-named files + one atomic
+# live-map commit, no directory renames on the data path.
+# ---------------------------------------------------------------------------
+
+
+def state_of(st):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["lsn"])
+        for r in st.read().collect()
+    }
+
+
+class TestPointerProtocol:
+    def test_pointer_equals_rename_through_lifecycle(self, spark, tmp_path):
+        """Same batch history through COW, MOR, compact and rebucket
+        under both protocols → identical state; a pointer store reopens
+        as pointer without the flag (the marker is the ground truth)."""
+        results = {}
+        for proto in ("rename", "pointer"):
+            st = StateTable(
+                spark, str(tmp_path / proto), buckets=4,
+                commit_protocol=proto,
+            )
+            st.merge(log_df(spark, seed_rows(40)))  # cow seed
+            st.merge(
+                log_df(spark, [row("r", "p1", "u1", 100),
+                               row("r", "p2", None, 101, op="delete")]),
+                mode="mor",
+            )
+            st.compact()
+            st.merge(log_df(spark, [row("r", "p3", "u3", 102)]))
+            st.rebucket(8)
+            st.merge(log_df(spark, [row("r", "p4", "u4", 103)]))
+            results[proto] = state_of(st)
+            assert st.audit_key_uniqueness() == 0
+        assert results["pointer"] == results["rename"]
+        st2 = StateTable(spark, str(tmp_path / "pointer"), buckets=8)
+        assert st2.commit_protocol == "pointer"
+        assert state_of(st2) == results["rename"]
+        # every committed file is immutable-named and referenced by the
+        # live map — nothing else on disk
+        for b, files in st2._live.items():
+            d = f"{st2.path}/bucket={b}"
+            on_disk = {e for e in os.listdir(d) if e.endswith(".parquet")}
+            assert on_disk == set(files)
+
+    def test_pointer_crash_before_marker_rolls_back(
+        self, spark, tmp_table_dir
+    ):
+        """Crash after the file copies but before the one atomic marker
+        commit: reads still see the old live map; recovery GCs the
+        orphaned copies; the re-driven batch converges (the manifest's
+        exactly-once contract, unchanged)."""
+        st = StateTable(
+            spark, tmp_table_dir, buckets=4, commit_protocol="pointer"
+        )
+        st.merge(log_df(spark, seed_rows(20)))
+        before = state_of(st)
+
+        def crash(*a, **k):
+            raise RuntimeError("crash before pointer commit")
+
+        st._write_meta = crash
+        with pytest.raises(RuntimeError, match="crash before pointer"):
+            st.merge(log_df(spark, [row("r", "p0", "new", 500)]))
+        # half-copied token files are on disk but unreferenced
+        st2 = StateTable(
+            spark, tmp_table_dir, buckets=4, commit_protocol="pointer"
+        )
+        assert state_of(st2) == before  # rolled back, old state intact
+        for b, files in st2._live.items():
+            d = f"{st2.path}/bucket={b}"
+            on_disk = {e for e in os.listdir(d) if e.endswith(".parquet")}
+            assert on_disk == set(files)  # orphans GC'd
+        st2.merge(log_df(spark, [row("r", "p0", "new", 500)]))
+        assert state_of(st2)[("r", "p0")] == ("new", 500)
+
+    def test_pointer_crash_after_marker_finishes_gc(
+        self, spark, tmp_table_dir
+    ):
+        """Crash after the marker commit but before the replaced-file
+        GC: the new state is already committed; recovery merely removes
+        the superseded files."""
+        st = StateTable(
+            spark, tmp_table_dir, buckets=4, commit_protocol="pointer"
+        )
+        st.merge(log_df(spark, seed_rows(20)))
+        # plant a superseded-looking orphan next to a committed bucket
+        b = next(iter(st._live))
+        d = f"{st.path}/bucket={b}"
+        orphan = os.path.join(d, "c-deadbeef-stale.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"not parquet")
+        st2 = StateTable(
+            spark, tmp_table_dir, buckets=4, commit_protocol="pointer"
+        )
+        assert not os.path.exists(orphan)
+        assert state_of(st2) == state_of(st)
+
+    def test_pointer_refuses_markerless_foreign_data(self, spark, tmp_path):
+        """Pointer mode on a marker-less dir holding bucket data must
+        fail loudly, never GC foreign files under an empty live map."""
+        root = str(tmp_path / "foreign")
+        os.makedirs(f"{root}/bucket=0")
+        with open(f"{root}/bucket=0/part-000.parquet", "wb") as f:
+            f.write(b"x")
+        with pytest.raises(ValueError, match="no layout marker"):
+            StateTable(spark, root, buckets=4, commit_protocol="pointer")
+        assert os.path.exists(f"{root}/bucket=0/part-000.parquet")
+
+    def test_engine_replay_resume_on_pointer_protocol(self, spark, tmp_path):
+        """Full engine contract on the pointer protocol: replay,
+        re-delivery no-op, resume, sha256 differential."""
+        from rfb_cnpj_etl_spark.engine import CdcEngine
+        from rfb_cnpj_etl_spark.gen import (
+            expected_final_state,
+            synthesize_changelog,
+        )
+
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        log = synthesize_changelog(
+            spark, 3000, n_repos=5, n_paths=200, delete_ratio=0.1
+        ).cache()
+        eng = CdcEngine(spark, state, man, commit_protocol="pointer")
+        entries = eng.replay(log, batch_size=1000)
+        assert entries
+        again = CdcEngine(spark, state, man).replay(log, batch_size=1000)
+        assert all(e.get("skipped") for e in again) or not again
+        eng2 = CdcEngine(spark, state, man)
+        assert eng2.state.commit_protocol == "pointer"
+        assert eng2.verify_against(expected_final_state(log))["ok"]
+
+
+# ---------------------------------------------------------------------------
+# Manifest applied-id folding (VERDICT r4 stretch 8): the exact id set
+# stays bounded — evicted LSN-window ids fold into a watermark summary
+# that answers is_applied exactly under the replay loop's in-order
+# single-writer commits.
+# ---------------------------------------------------------------------------
+
+
+class TestManifestIdFolding:
+    def _commit_windows(self, m, n, width=10):
+        for i in range(n):
+            m.commit(
+                {
+                    "batch_id": f"lsn_{i * width}_{i * width + width - 1}",
+                    "lsn_lo": i * width,
+                    "lsn_hi": i * width + width - 1,
+                }
+            )
+
+    def test_lsn_ids_fold_exactly(self, tmp_path):
+        from rfb_cnpj_etl_spark.plans.checkpoint import Manifest
+
+        m = Manifest(str(tmp_path / "m.jsonl"), compact_segments=8,
+                     tail_entries=4)
+        self._commit_windows(m, 50)
+        assert len(m._ids) <= 4  # bounded, not O(batches)
+        assert m.count() == 50
+        # folded windows still answer applied — exactly
+        assert m.is_applied("lsn_0_9")
+        assert m.is_applied("lsn_200_209")
+        # any whole window under the folded watermark holds only
+        # already-absorbed events (replay's own > watermark rule)
+        assert m.is_applied("lsn_3_7")
+        # tail windows answer from the exact set
+        assert m.is_applied("lsn_490_499")
+        # future windows are not applied
+        assert not m.is_applied("lsn_500_509")
+        assert not m.is_applied("lsn_495_503")  # reaches past the hw
+        # a reloaded manifest gives the same answers
+        m2 = Manifest(str(tmp_path / "m.jsonl"), compact_segments=8,
+                      tail_entries=4)
+        assert m2.count() == 50
+        assert len(m2._ids) <= 4
+        assert m2.is_applied("lsn_0_9")
+        assert not m2.is_applied("lsn_500_509")
+        # commit() dedups a folded id without inflating the count
+        m2.commit({"batch_id": "lsn_0_9", "lsn_lo": 0, "lsn_hi": 9})
+        assert m2.count() == 50
+
+    def test_non_lsn_ids_stay_exact_forever(self, tmp_path):
+        from rfb_cnpj_etl_spark.plans.checkpoint import Manifest
+
+        m = Manifest(str(tmp_path / "m.jsonl"), compact_segments=8,
+                     tail_entries=4)
+        m.commit({"batch_id": "rebucket_0_to_64", "lsn_lo": 0, "lsn_hi": 0,
+                  "buckets": 64})
+        self._commit_windows(m, 30)
+        # evicted from the tail long ago, but non-LSN → still exact
+        assert m.is_applied("rebucket_0_to_64")
+        assert not m.is_applied("rebucket_1_to_128")
+        m2 = Manifest(str(tmp_path / "m.jsonl"), compact_segments=8,
+                      tail_entries=4)
+        assert m2.is_applied("rebucket_0_to_64")
+        assert m2.current_buckets() == 64
