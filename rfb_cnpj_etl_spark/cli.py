@@ -41,6 +41,7 @@ def _engine(args) -> CdcEngine:
         buckets=args.buckets,
         salt_buckets=getattr(args, "salt_buckets", None),
         merge_mode=getattr(args, "merge_mode", "auto"),
+        commit_protocol=getattr(args, "commit_protocol", "rename"),
     )
 
 
@@ -138,7 +139,10 @@ def cmd_rebucket(args) -> int:
 
 def cmd_optimize(args) -> int:
     eng = _engine(args)
-    res = eng.state.compact(target_files_per_bucket=args.files_per_bucket)
+    res = eng.state.compact(
+        target_files_per_bucket=args.files_per_bucket,
+        sort_within_buckets=args.sort_within_buckets or None,
+    )
     print(json.dumps(res))
     return 0
 
@@ -233,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
         # emits the DeprecationWarning.
         sp.add_argument("--salt-buckets", type=int, default=None,
                         help=argparse.SUPPRESS)
+        # fresh-table default only; an existing table's layout marker
+        # decides (rename = atomic-dir-rename filesystems, pointer =
+        # S3-class object stores: immutable files + atomic marker)
+        sp.add_argument("--commit-protocol", choices=["rename", "pointer"],
+                        default="rename")
 
     sp = sub.add_parser("init", help="create empty state table + manifest")
     common(sp)
@@ -294,6 +303,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(sp)
     sp.add_argument("--files-per-bucket", type=int, default=1)
+    # within-bucket sort order: parquet row-group min/max data skipping
+    # on non-key predicates (the reference's secondary-index analog)
+    sp.add_argument("--sort-within-buckets", nargs="*", default=None,
+                    metavar="COL")
     sp.set_defaults(fn=cmd_optimize)
 
     sp = sub.add_parser(

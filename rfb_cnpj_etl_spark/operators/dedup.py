@@ -1188,7 +1188,7 @@ class MinhashIndex:
         }
 
         # exact row estimates for the rewritten buckets (advisory — the
-        # auto COW/MOR decision only; swap_buckets persists them with
+        # auto COW/MOR decision only; commit_staged persists them with
         # the layout marker it writes anyway)
         sig_rows = self._staged_rows(sig_staging)
         for b in touched_sig:

@@ -517,15 +517,6 @@ class BucketedParquetStore:
             if d.startswith("bucket=")
         )
 
-    def swap_buckets(self, staging: str, touched: list[int]) -> None:
-        """Rename-protocol primitive kept for compatibility (staging is
-        left to the caller); :meth:`commit_staged` is the protocol-aware
-        entry every engine write path uses."""
-        os.makedirs(self.path, exist_ok=True)
-        for b in touched:
-            self._swap_in(f"{staging}/bucket={b}", f"{self.path}/bucket={b}")
-        self._write_meta()
-
     def _staged_bucket_ids(self, staging: str) -> list[int]:
         if not os.path.isdir(staging):
             return []

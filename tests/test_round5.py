@@ -598,6 +598,38 @@ class TestPointerProtocol:
             StateTable(spark, root, buckets=4, commit_protocol="pointer")
         assert os.path.exists(f"{root}/bucket=0/part-000.parquet")
 
+    def test_cli_optimize_sorted(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from rfb_cnpj_etl_spark import cli
+
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        logdir = str(tmp_path / "log")
+        log_df(spark, seed_rows(30)).write.parquet(logdir)
+        assert cli.main(["replay", "--state", state, "--manifest", man,
+                         "--log", logdir]) == 0
+        capsys.readouterr()
+        rc = cli.main(["optimize", "--state", state, "--manifest", man,
+                       "--sort-within-buckets", "lang"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["compacted_buckets"] == len(out["bucket_ids"]) > 0
+
+    def test_cli_replay_on_pointer(self, spark, tmp_path, capsys):
+        from rfb_cnpj_etl_spark import cli
+
+        state, man = str(tmp_path / "state"), str(tmp_path / "m.jsonl")
+        logdir = str(tmp_path / "log")
+        log_df(spark, seed_rows(20)).write.parquet(logdir)
+        rc = cli.main([
+            "replay", "--state", state, "--manifest", man, "--log", logdir,
+            "--commit-protocol", "pointer",
+        ])
+        assert rc == 0
+        st = StateTable(spark, state)
+        assert st.commit_protocol == "pointer"
+        assert st.read().count() == 20
+
     def test_engine_replay_resume_on_pointer_protocol(self, spark, tmp_path):
         """Full engine contract on the pointer protocol: replay,
         re-delivery no-op, resume, sha256 differential."""
