@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC family (SURVEY §2.4 M1/M2 + replay semantics)
         "cdc_final_state": Q.cdc_final_state,
         "cdc_mor_replay": Q.cdc_mor_replay,
+        "cdc_change_feed": Q.cdc_change_feed,
         "cdc_first_writer_wins": Q.cdc_first_writer_wins,
         "cdc_prioritized_dedup": Q.cdc_prioritized_dedup,
         "cdc_repo_stats": Q.cdc_repo_stats,
@@ -363,6 +364,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, "commit", lang, content, lsn,
                    sha256(content) AS content_sha256
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # CDC-out: the engine's published change feed (4 absolute-LSN
+        # windows) must equal the SQL window diff — per (key, window)
+        # LWW winner, classified against the previous surviving winner
+        # via lag(). Window width = ceil((max_lsn+1)/4) on BOTH sides.
+        "cdc_change_feed": f"""
+            WITH log AS ({_LOG}),
+            p AS (SELECT (MAX(lsn) + 4) // 4 AS bs FROM log),
+            wl AS (
+              SELECT l.*, CAST(l.lsn // (SELECT bs FROM p) AS BIGINT) AS wid
+              FROM log l
+            ),
+            win AS (  -- per (key, window) LWW winner (lsn is unique)
+              SELECT wid, repo, path,
+                     arg_max(op, lsn)       AS op,
+                     arg_max("commit", lsn) AS commit,
+                     arg_max(lang, lsn)     AS lang,
+                     arg_max(content, lsn)  AS content,
+                     max(lsn)               AS lsn
+              FROM wl GROUP BY wid, repo, path
+            ),
+            seq AS (
+              SELECT *,
+                lag(op)  OVER (PARTITION BY repo, path ORDER BY wid) AS prev_op,
+                lag(lsn) OVER (PARTITION BY repo, path ORDER BY wid) AS plsn
+              FROM win
+            )
+            SELECT repo, path,
+                   CASE WHEN op = 'delete' THEN 'delete'
+                        WHEN prev_op IS NULL OR prev_op = 'delete' THEN 'insert'
+                        ELSE 'update' END AS change_type,
+                   commit, lang, content, lsn,
+                   CASE WHEN prev_op IS NULL OR prev_op = 'delete' THEN NULL
+                        ELSE plsn END AS prev_lsn
+            FROM seq
+            WHERE NOT (op = 'delete' AND (prev_op IS NULL OR prev_op = 'delete'))
         """,
         "cdc_first_writer_wins": f"""
             WITH log AS ({_LOG}),

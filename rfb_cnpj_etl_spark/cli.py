@@ -27,6 +27,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 from .engine import CdcEngine
 from .gen import expected_final_state, synthesize_changelog
 from .session import get_spark
@@ -42,6 +44,7 @@ def _engine(args) -> CdcEngine:
         salt_buckets=getattr(args, "salt_buckets", None),
         merge_mode=getattr(args, "merge_mode", "auto"),
         commit_protocol=getattr(args, "commit_protocol", "rename"),
+        changes_dir=getattr(args, "changes_dir", None),
     )
 
 
@@ -101,6 +104,36 @@ def cmd_replay(args) -> int:
                 "batches_skipped": sum(1 for e in entries if e.get("skipped")),
                 "high_watermark": eng.manifest.high_watermark(),
                 "rows": rows,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_changes(args) -> int:
+    """Summarize (and optionally filter) the published change feed —
+    the downstream consumer's entry point."""
+    eng = _engine(args)
+    feed = eng.change_feed()
+    if args.since_lsn is not None:
+        feed = feed.filter(F.col("lsn") > args.since_lsn)
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in feed.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    lo_hi = feed.agg(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "rows": int(sum(by_type.values())),
+                "by_change_type": by_type,
+                "lsn_lo": lo_hi["lo"],
+                "lsn_hi": lo_hi["hi"],
+                "batch_dirs": feed.select("batch").distinct().count(),
             }
         )
     )
@@ -279,7 +312,27 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run the default maintenance policy after the replay",
     )
+    sp.add_argument(
+        "--changes-dir",
+        default=None,
+        help="publish each batch's net row-level changes (CDC-out: "
+        "insert/update/delete + before-image LSN) under this dir — "
+        "the Delta Change-Data-Feed analog; read back with `changes`",
+    )
     sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser(
+        "changes", help="read the published CDC-out change feed"
+    )
+    common(sp)
+    sp.add_argument("--changes-dir", required=True)
+    sp.add_argument(
+        "--since-lsn",
+        type=int,
+        default=None,
+        help="only changes with lsn greater than this",
+    )
+    sp.set_defaults(fn=cmd_changes)
 
     sp = sub.add_parser("verify", help="sha256 differential vs oracle final state")
     common(sp)

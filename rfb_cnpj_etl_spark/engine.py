@@ -16,6 +16,7 @@ re-delivered batches are no-ops.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -55,6 +56,12 @@ class MaintenancePolicy:
     #: micro-batch, and their counts already live in the manifest, so
     #: old ones are re-derivable garbage. None = keep everything.
     pairs_retention_batches: int | None = 16
+    #: keep only the newest N per-batch change-feed dirs under the
+    #: engine's ``changes_dir`` (CDC-out). None = keep everything —
+    #: unlike pair outputs the feed is a downstream deliverable, so
+    #: pruning is strictly opt-in (set it to the consumers' replay
+    #: horizon, like a Kafka retention window).
+    changes_retention_batches: int | None = None
     #: within-bucket sort columns applied when a store is compacted,
     #: keyed by store name ("state", "index_sig", "index_post"):
     #: sorted buckets make parquet row-group min/max stats selective so
@@ -122,6 +129,7 @@ class CdcEngine:
         registry: SchemaRegistry | None = None,
         merge_mode: str = "auto",
         commit_protocol: str = "rename",
+        changes_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.manifest = Manifest(manifest_path)
@@ -162,6 +170,12 @@ class CdcEngine:
         #: buckets, "mor" always appends delta files, "auto" decides per
         #: batch from the batch-size/state-size ratio (StateTable.merge).
         self.merge_mode = merge_mode
+        #: CDC-out: when set, every applied batch publishes its net
+        #: row-level changes (insert/update/delete + before-image LSN)
+        #: under ``{changes_dir}/batch=<batch_id>/`` — the Delta
+        #: Change-Data-Feed analog, making the state table itself
+        #: consumable as a changelog by a downstream pipeline.
+        self.changes_dir = changes_dir
 
     #: (window, bucket) probe rows the driver will hold at once before
     #: switching to the streamed per-partition fetch (65536 rows of 4
@@ -208,7 +222,15 @@ class CdcEngine:
         if self.normalize is not None:
             batch = self.normalize(batch)
         metrics = self.state.merge(
-            batch, touched=touched, mode=self.merge_mode, batch_rows=batch_rows
+            batch,
+            touched=touched,
+            mode=self.merge_mode,
+            batch_rows=batch_rows,
+            changes_out=(
+                os.path.join(self.changes_dir, f"batch={batch_id}")
+                if self.changes_dir
+                else None
+            ),
         )
         entry = {
             "batch_id": batch_id,
@@ -515,6 +537,19 @@ class CdcEngine:
                     }
                 )
 
+        if self.changes_dir and policy.changes_retention_batches is not None:
+            pruned = self._prune_batch_dirs(
+                self.changes_dir, policy.changes_retention_batches
+            )
+            if pruned:
+                actions.append(
+                    {
+                        "store": "change_feed",
+                        "action": "prune",
+                        "removed_batch_dirs": pruned,
+                    }
+                )
+
         report: dict = {"actions": actions, "recommendations": recommendations}
         if actions:
             hw = self.manifest.high_watermark()
@@ -534,16 +569,24 @@ class CdcEngine:
     @staticmethod
     def _prune_pair_outputs(index, retention: int | None) -> int:
         """Drop all but the newest ``retention`` per-batch pair dirs
-        under ``{index}/pairs/`` (ordered by commit time — batch ids
-        are opaque here). Their counts are in the manifest and the data
-        is re-derivable from the index, so this is garbage collection,
-        not state loss."""
+        under ``{index}/pairs/``. Their counts are in the manifest and
+        the data is re-derivable from the index, so this is garbage
+        collection, not state loss."""
         import os
-        import shutil
 
         if retention is None:
             return 0
-        root = os.path.join(index.path, "pairs")
+        return CdcEngine._prune_batch_dirs(
+            os.path.join(index.path, "pairs"), retention
+        )
+
+    @staticmethod
+    def _prune_batch_dirs(root: str, retention: int) -> int:
+        """Drop all but the newest ``retention`` ``batch=*`` dirs under
+        ``root`` (ordered by commit time — batch ids are opaque here)."""
+        import os
+        import shutil
+
         if not os.path.isdir(root):
             return 0
         dirs = [
@@ -584,6 +627,36 @@ class CdcEngine:
 
     def final_state(self) -> DataFrame:
         return self.state.read()
+
+    def change_feed(self) -> DataFrame:
+        """The accumulated CDC-out feed — one row per net state change,
+        partitioned by the batch that produced it (``batch`` column =
+        batch_id). Downstream consumers read this exactly like the
+        engine reads its own input changelog: ``lsn`` orders changes,
+        ``change_type``/``prev_lsn`` say what happened to the key. Only
+        published dirs are read (a torn ``.staging`` is invisible), so
+        the feed is always a prefix-consistent view of committed work."""
+        if not self.changes_dir:
+            raise ValueError(
+                "engine was built without changes_dir; pass changes_dir= "
+                "to CdcEngine to record a change feed"
+            )
+        dirs = (
+            [
+                os.path.join(self.changes_dir, d)
+                for d in sorted(os.listdir(self.changes_dir))
+                if d.startswith("batch=")
+            ]
+            if os.path.isdir(self.changes_dir)
+            else []
+        )
+        if not dirs:
+            raise ValueError(
+                f"no published change-feed batches under {self.changes_dir}"
+            )
+        return self.spark.read.option("basePath", self.changes_dir).parquet(
+            *dirs
+        )
 
     def verify_against(self, expected: DataFrame, content_col: str = "content") -> dict:
         """Per-row sha256(content) differential vs an independently

@@ -196,6 +196,7 @@ class StateTable(BucketedParquetStore):
         touched: list[int] | None = None,
         mode: str = "auto",
         batch_rows: int | None = None,
+        changes_out: str | None = None,
     ) -> dict:
         """Apply a changelog micro-batch. Returns manifest metrics:
         ``{"touched_buckets": [...], "bucket_rows": {b: n}, "rows": N,
@@ -226,6 +227,16 @@ class StateTable(BucketedParquetStore):
         batches ``bucket_rows`` counts the winners *appended* per
         bucket, not the bucket's total rows — the manifest entry's
         ``mode`` field says which reading applies.
+
+        ``changes_out`` opts this batch into the CDC-out change feed
+        (the Delta Change-Data-Feed / Iceberg changelog-read analog):
+        the batch's net row-level changes vs the CURRENT state —
+        ``change_type ∈ {insert, update, delete}`` with the replaced
+        row's LSN as ``prev_<lsn>`` — are published atomically to that
+        directory BEFORE the state mutates, so a downstream pipeline
+        can consume this table as a changelog of its own. The dir must
+        be unique per batch (the engine uses ``batch=<batch_id>``);
+        see :meth:`_emit_changes` for the exactly-once crash contract.
         """
         if salt_buckets is not None:
             import warnings
@@ -249,9 +260,18 @@ class StateTable(BucketedParquetStore):
         incoming = batch
         if "bucket" not in incoming.columns:
             incoming = incoming.withColumn("bucket", bucket_col)
+        feed_metrics: dict = {}
+        if changes_out is not None:
+            # before-image diff MUST run before any state mutation below
+            feed_metrics = self._emit_changes(
+                incoming, lsn_col, op_col, touched, changes_out
+            )
         if self._resolve_mode(mode, batch_rows, touched) == "mor":
-            return self._merge_mor(incoming, lsn_col, op_col, touched)
-        return self._merge_cow(incoming, lsn_col, op_col, touched)
+            res = self._merge_mor(incoming, lsn_col, op_col, touched)
+        else:
+            res = self._merge_cow(incoming, lsn_col, op_col, touched)
+        res.update(feed_metrics)
+        return res
 
     def _resolve_mode(
         self, mode: str, batch_rows: int | None, touched: list[int]
@@ -276,6 +296,131 @@ class StateTable(BucketedParquetStore):
         if any(dcounts.get(b, 0) >= self.DELTA_FILES_CAP for b in touched):
             return "cow"
         return "mor"
+
+    # -- CDC-out change feed ---------------------------------------------
+
+    #: sidecar recording the feed's row count inside each published
+    #: batch dir (underscore prefix → ignored by parquet readers).
+    FEED_META = "_feed_meta.json"
+
+    def _pre_image(
+        self, touched: list[int], lsn_col: str
+    ) -> DataFrame | None:
+        """Pruned ``(keys, lsn)`` view of the CURRENT surviving rows in
+        the touched buckets — the before-image the change feed diffs
+        against. MOR deltas are folded on a projection pruned to
+        keys+lsn+op BEFORE the LWW aggregate, so the pre-image scan
+        never reads content columns (``read_buckets`` would fold full
+        rows: ``max_by``'s struct payload blocks column pruning)."""
+        cols = [*self.keys, lsn_col]
+        base = self._read_base_buckets(touched) if self.exists() else None
+        if base is not None:
+            base = base.select(*cols)
+        delta_ids = [b for b in self.delta_bucket_ids() if b in set(touched)]
+        if delta_ids:
+            delta = self._read_delta(delta_ids).select(*cols, self.op_col)
+            if base is not None:
+                merged = base.withColumn(
+                    self.op_col, F.lit(OP_UPSERT)
+                ).unionByName(delta)
+            else:
+                merged = delta
+            folded = last_writer_wins_agg(
+                merged, self.keys, lsn_col, self.op_col
+            )
+            return folded.filter(F.col(self.op_col) != OP_DELETE).drop(
+                self.op_col
+            )
+        return base
+
+    def _emit_changes(
+        self,
+        incoming: DataFrame,
+        lsn_col: str,
+        op_col: str,
+        touched: list[int],
+        out_dir: str,
+    ) -> dict:
+        """Compute this batch's net row-level changes against the
+        current state and publish them atomically to ``out_dir``.
+
+        Exactly-once contract (the feed is the one artifact a LWW
+        re-apply can NOT recompute — after the state swap the same
+        batch diffs to an empty set): the feed is staged and published
+        via one atomic rename BEFORE any state mutation, and a
+        re-apply that finds the dir already published reuses it.
+        Crash windows: torn staging → recomputed against the still
+        unmutated state; published-but-unmerged → merge re-applies
+        (LWW idempotent), feed reused; merged-but-uncommitted →
+        manifest re-drives the batch, feed reused (it holds the
+        correct pre-image diff).
+
+        Classification per batch LWW winner joined to the pre-image:
+        no before-row → ``insert`` (delete-on-absent emits nothing);
+        before-row outranked (lsn, delete-priority) → ``update`` /
+        ``delete``; a stale winner the state outranks emits nothing.
+        """
+        if os.path.isdir(out_dir):
+            rows = None
+            try:
+                with open(
+                    os.path.join(out_dir, self.FEED_META), encoding="utf-8"
+                ) as f:
+                    rows = int(json.load(f)["rows"])
+            except (OSError, ValueError, KeyError):
+                pass
+            return {"change_rows": rows, "change_feed_reused": True}
+
+        winners = last_writer_wins_agg(incoming, self.keys, lsn_col, op_col)
+        prev_col = f"prev_{lsn_col}"
+        pre = self._pre_image(touched, lsn_col)
+        if pre is None:
+            joined = winners.withColumn(
+                prev_col, F.lit(None).cast(dict(winners.dtypes)[lsn_col])
+            )
+        else:
+            joined = winners.join(
+                pre.withColumnRenamed(lsn_col, prev_col), self.keys, "left"
+            )
+        is_del = F.col(op_col) == OP_DELETE
+        prev, new = F.col(prev_col), F.col(lsn_col)
+        change_type = (
+            # equal LSN: delete outranks the stored upsert (the LWW
+            # tie-break), an upsert re-delivery is a no-op
+            F.when(is_del & prev.isNotNull() & (new >= prev), F.lit("delete"))
+            .when(~is_del & prev.isNull(), F.lit("insert"))
+            .when(~is_del & (new > prev), F.lit("update"))
+        )
+        data_cols = [
+            c
+            for c in winners.columns
+            if c not in (*self.keys, op_col, "bucket", "content_sha256")
+        ]
+        feed = (
+            joined.withColumn("change_type", change_type)
+            .filter(F.col("change_type").isNotNull())
+            .select(*self.keys, "change_type", *data_cols, prev_col)
+        )
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        feed = feed.observe(obs, F.count(F.lit(1)).alias("rows"))
+        staging = f"{out_dir}.staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        feed.write.mode("overwrite").parquet(staging)
+        try:
+            rows = int(obs.get["rows"])
+        except Exception:  # noqa: BLE001 — AQE may prune the metrics node
+            rows = parquet_footer_rows(staging)
+        with open(
+            os.path.join(staging, self.FEED_META), "w", encoding="utf-8"
+        ) as f:
+            json.dump({"rows": rows}, f)
+        os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
+        os.rename(staging, out_dir)  # atomic publish = the feed commit
+        return {"change_rows": rows}
 
     def _observe_bucket_counts(self, df: DataFrame, touched: list[int]):
         """Attach per-bucket row counters to ride the write job (V4

@@ -121,6 +121,60 @@ def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+#: windows the change-feed proof query replays in — keep in sync with
+#: the oracle SQL (both derive batch_size = ceil((max_lsn+1)/4) so the
+#: engine's absolute-LSN windows and the SQL's wid agree exactly).
+CHANGE_FEED_WINDOWS = 4
+
+
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out through the real engine: replay the changelog in
+    absolute-LSN windows with ``changes_dir`` set, then return the
+    published change feed — one row per NET state change (insert /
+    update / delete, with the replaced row's LSN as ``prev_lsn``).
+    This is the Delta Change-Data-Feed / Iceberg changelog-read analog
+    (SURVEY §1.2's lake framing taken to its conclusion: the state
+    table is itself consumable as a changelog), value-checked against
+    a pure-SQL window diff of per-window LWW winners."""
+    import os
+    import shutil
+    import tempfile
+
+    log = changelog_from_events(spark, sf_dir)
+    hi = log.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+    bs = (int(hi) + CHANGE_FEED_WINDOWS) // CHANGE_FEED_WINDOWS
+    work = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="change_feed_", dir=work)
+    try:
+        from ..engine import CdcEngine
+
+        eng = CdcEngine(
+            spark,
+            f"{path}/state",
+            f"{path}/m.jsonl",
+            normalize=None,
+            changes_dir=f"{path}/changes",
+        )
+        eng.replay(log, batch_size=bs)
+        out = eng.change_feed().select(
+            "repo", "path", "change_type", "commit", "lang", "content",
+            "lsn", "prev_lsn",
+        )
+        n = out.count()
+        if n <= MOR_REPLAY_COLLECT_MAX:
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        import atexit
+
+        keep = tempfile.mkdtemp(prefix="change_feed_out_", dir=work)
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        dest = os.path.join(keep, "feed")
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 INSERT OR IGNORE intent: keep the first event per key."""
     log = changelog_from_events(spark, sf_dir)
