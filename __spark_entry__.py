@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": Q.cdc_final_state,
         "cdc_mor_replay": Q.cdc_mor_replay,
         "cdc_change_feed": Q.cdc_change_feed,
+        "cdc_time_travel": Q.cdc_time_travel,
         "cdc_first_writer_wins": Q.cdc_first_writer_wins,
         "cdc_prioritized_dedup": Q.cdc_prioritized_dedup,
         "cdc_repo_stats": Q.cdc_repo_stats,
@@ -400,6 +401,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE plsn END AS prev_lsn
             FROM seq
             WHERE NOT (op = 'delete' AND (prev_op IS NULL OR prev_op = 'delete'))
+        """,
+        # Time travel: the engine's state_as_of (change-feed prefix
+        # fold) must equal a plain LWW over the log truncated at the
+        # same absolute-LSN window boundary (first 2 of 4 windows;
+        # bs = ceil((max_lsn+1)/4) on BOTH sides).
+        "cdc_time_travel": f"""
+            WITH log AS ({_LOG}),
+            p AS (SELECT (MAX(lsn) + 4) // 4 AS bs FROM log),
+            pre AS (
+              SELECT * FROM log WHERE lsn < 2 * (SELECT bs FROM p)
+            )
+            SELECT repo, path,
+                   arg_max("commit", lsn) AS commit,
+                   arg_max(lang, lsn)     AS lang,
+                   arg_max(content, lsn)  AS content,
+                   max(lsn)               AS lsn,
+                   sha256(arg_max(content, lsn)) AS content_sha256
+            FROM pre GROUP BY repo, path
+            HAVING arg_max(op, lsn) <> 'delete'
         """,
         "cdc_first_writer_wins": f"""
             WITH log AS ({_LOG}),

@@ -140,6 +140,27 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Time travel: reconstruct the state as of a past batch from the
+    change feed (no stored snapshot — one fold over the feed prefix)."""
+    eng = _engine(args)
+    snap = eng.state_as_of(args.as_of)
+    if args.out:
+        snap.write.mode("overwrite").parquet(args.out)
+        snap = eng.spark.read.parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "batch_id": args.as_of,
+                "rows": snap.count(),
+                "columns": snap.columns,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_verify(args) -> int:
     eng = _engine(args)
     log = eng.spark.read.parquet(args.log)
@@ -333,6 +354,21 @@ def main(argv: list[str] | None = None) -> int:
         help="only changes with lsn greater than this",
     )
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser(
+        "snapshot",
+        help="time travel: rebuild the state as of a past batch from "
+        "the change feed",
+    )
+    common(sp)
+    sp.add_argument("--changes-dir", required=True)
+    sp.add_argument(
+        "--as-of", required=True, help="manifest batch_id to rewind to"
+    )
+    sp.add_argument(
+        "--out", default=None, help="write the snapshot as parquet here"
+    )
+    sp.set_defaults(fn=cmd_snapshot)
 
     sp = sub.add_parser("verify", help="sha256 differential vs oracle final state")
     common(sp)

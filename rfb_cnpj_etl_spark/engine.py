@@ -654,8 +654,94 @@ class CdcEngine:
             raise ValueError(
                 f"no published change-feed batches under {self.changes_dir}"
             )
-        return self.spark.read.option("basePath", self.changes_dir).parquet(
-            *dirs
+        # mergeSchema: add-column evolution mid-history leaves older
+        # batch dirs without the new columns — merge the footers so the
+        # feed presents ONE evolved schema (old rows NULL-filled, same
+        # contract as the state table itself). Cost is a footer read per
+        # file over the (small, net-changes-only) feed, not a data scan.
+        return (
+            self.spark.read.option("basePath", self.changes_dir)
+            .option("mergeSchema", "true")
+            .parquet(*dirs)
+        )
+
+    def state_as_of(self, batch_id: str) -> DataFrame:
+        """Time travel (the Iceberg snapshot-read / Delta ``VERSION AS
+        OF`` analog): reconstruct the state table exactly as it stood
+        after ``batch_id`` committed, by LWW-folding the change feed's
+        committed prefix up to and including that batch.
+
+        Cost model at 10^10 rows: one columnar scan of the feed prefix
+        (net changes only — bounded by churn, not state size) plus one
+        map-side-combining hash aggregate; NO per-batch state copies are
+        ever written, which is what makes every batch a readable
+        snapshot for free. Correctness: each batch's feed is its net
+        diff vs the pre-batch state (``_emit_changes``), so the ordered
+        union of feed prefixes replayed under the same LWW fold
+        (max lsn, delete-priority tie-break) reproduces the post-batch
+        state exactly — including keys deleted and later re-inserted.
+
+        Requires the feed to cover the WHOLE history up to ``batch_id``:
+        the engine must have had ``changes_dir`` set from the first
+        batch, and retention must not have pruned a prefix dir (both
+        raise ``ValueError`` rather than silently reconstructing from a
+        partial feed)."""
+        if not self.changes_dir:
+            raise ValueError(
+                "engine was built without changes_dir; time travel folds "
+                "the change feed"
+            )
+        dirs: list[str] = []
+        found = False
+        for e in self.manifest.entries():
+            # merge entries carry a "mode" metric; maintenance /
+            # rebucket entries don't mutate row content and are skipped
+            if "mode" not in e:
+                continue
+            if "change_rows" not in e:
+                raise ValueError(
+                    f"batch {e['batch_id']!r} predates the change feed; "
+                    "state_as_of needs changes_dir set for the whole "
+                    "history"
+                )
+            d = os.path.join(self.changes_dir, f"batch={e['batch_id']}")
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f"change-feed dir for batch {e['batch_id']!r} was "
+                    "pruned (changes_retention_batches); snapshot "
+                    "unavailable"
+                )
+            dirs.append(d)
+            if e["batch_id"] == batch_id:
+                found = True
+                break
+        if not found:
+            raise ValueError(f"batch {batch_id!r} not in the manifest")
+        from .operators.dedup import OP_DELETE, OP_UPSERT, last_writer_wins_agg
+
+        feed = (
+            self.spark.read.option("basePath", self.changes_dir)
+            .option("mergeSchema", "true")
+            .parquet(*dirs)
+            .drop("batch", f"prev_{self.state.lsn_col}")
+        )
+        op_col = self.state.op_col
+        feed = feed.withColumn(
+            op_col,
+            F.when(F.col("change_type") == "delete", OP_DELETE).otherwise(
+                OP_UPSERT
+            ),
+        ).drop("change_type")
+        folded = last_writer_wins_agg(
+            feed, self.state.keys, self.state.lsn_col, op_col
+        )
+        out = folded.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+        # match final_state()'s schema contract: the per-row content
+        # digest is a pure function of content, so recompute it instead
+        # of shipping it through the feed
+        return out.withColumn(
+            "content_sha256",
+            F.sha2(F.col(self.state.content_col).cast("string"), 256),
         )
 
     def verify_against(self, expected: DataFrame, content_col: str = "content") -> dict:

@@ -175,6 +175,58 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the real engine: replay the changelog in 4
+    absolute-LSN windows with the change feed on, then reconstruct the
+    state AS OF the last batch whose span lies inside the first two
+    windows (``state_as_of`` = one LWW fold over the feed prefix — the
+    Iceberg snapshot-read / Delta VERSION AS OF analog, with zero
+    stored snapshots). Value-checked against a pure-SQL LWW of the log
+    truncated at the same window boundary (lsn < 2·bs)."""
+    import os
+    import shutil
+    import tempfile
+
+    log = changelog_from_events(spark, sf_dir)
+    hi = log.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+    bs = (int(hi) + CHANGE_FEED_WINDOWS) // CHANGE_FEED_WINDOWS
+    work = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="time_travel_", dir=work)
+    try:
+        from ..engine import CdcEngine
+
+        eng = CdcEngine(
+            spark,
+            f"{path}/state",
+            f"{path}/m.jsonl",
+            normalize=None,
+            changes_dir=f"{path}/changes",
+        )
+        entries = eng.replay(log, batch_size=bs)
+        # the rewind point: last committed batch fully below the
+        # 2-window boundary (matches the oracle's lsn < 2*bs cutoff
+        # even if an intermediate window happened to be empty)
+        cutoff = 2 * bs
+        target = [e for e in entries if e["lsn_hi"] < cutoff][-1]["batch_id"]
+        out = eng.state_as_of(target).select(
+            "repo", "path", "commit", "lang", "content", "lsn",
+            "content_sha256",
+        )
+        n = out.count()
+        if n <= MOR_REPLAY_COLLECT_MAX:
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        import atexit
+
+        keep = tempfile.mkdtemp(prefix="time_travel_out_", dir=work)
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        dest = os.path.join(keep, "snap")
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 INSERT OR IGNORE intent: keep the first event per key."""
     log = changelog_from_events(spark, sf_dir)

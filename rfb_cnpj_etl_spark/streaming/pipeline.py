@@ -38,6 +38,7 @@ class StreamingCdcPipeline:
         max_files_per_trigger: int = 8,
         schema=None,
         minhash_index=None,
+        changes_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -60,6 +61,11 @@ class StreamingCdcPipeline:
             manifest_path,
             keys=keys or CODE_KEY,
             buckets=buckets,
+            # CDC-out applies to the streaming path unchanged: each
+            # epoch's feed dir is keyed by the epoch batch_id, and the
+            # publish-then-reuse contract absorbs foreachBatch
+            # redelivery exactly like manifest-driven batch re-applies.
+            changes_dir=changes_dir,
         )
         self.state = self.engine.state
         self.manifest = self.engine.manifest
