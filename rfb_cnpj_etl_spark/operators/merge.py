@@ -311,7 +311,15 @@ class StateTable(BucketedParquetStore):
         against. MOR deltas are folded on a projection pruned to
         keys+lsn+op BEFORE the LWW aggregate, so the pre-image scan
         never reads content columns (``read_buckets`` would fold full
-        rows: ``max_by``'s struct payload blocks column pruning)."""
+        rows: ``max_by``'s struct payload blocks column pruning).
+
+        Row-pruning this scan to the batch's key set was tried and
+        REVERTED: a broadcast left-semi join cannot push below the
+        parquet scan (the narrow read happens either way) and the extra
+        distinct+broadcast job per window measured neutral-to-slower in
+        the interleaved A/B (scripts/bench_ab_feed.py methodology).
+        The scan is the intrinsic price of eager CDF classification —
+        the same price Delta's CDF pays on MERGE."""
         cols = [*self.keys, lsn_col]
         base = self._read_base_buckets(touched) if self.exists() else None
         if base is not None:

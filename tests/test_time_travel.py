@@ -159,6 +159,76 @@ class TestStateAsOf:
             eng.state_as_of("x")
 
 
+class TestTimeTravelFuzz:
+    def test_every_snapshot_matches_prefix_lww(self, spark, tmp_path):
+        """Seeded fuzz: random window sizes and merge modes, feed on —
+        state_as_of at EVERY committed batch must equal a pure LWW over
+        the log prefix ``lsn <= batch.lsn_hi`` (windows are contiguous
+        LSN ranges, so that prefix is exactly the applied history)."""
+        import random
+
+        from rfb_cnpj_etl_spark.gen import synthesize_changelog
+        from rfb_cnpj_etl_spark.operators.dedup import last_writer_wins_agg
+
+        log = synthesize_changelog(
+            spark, 1500, n_repos=3, n_paths=60, delete_ratio=0.2,
+            hot_repo_fraction=0.3,
+        ).cache()
+        for seed in (5, 42):
+            rng = random.Random(seed)
+            eng = CdcEngine(
+                spark,
+                str(tmp_path / f"s{seed}"),
+                str(tmp_path / f"m{seed}.jsonl"),
+                merge_mode=rng.choice(["cow", "auto"]),
+                changes_dir=str(tmp_path / f"c{seed}"),
+            )
+            entries = eng.replay(
+                log, batch_size=rng.choice([150, 400, 700])
+            )
+            assert len(entries) >= 3
+            for e in entries:
+                snap = {
+                    (r["repo"], r["path"], r["content"], r["lsn"])
+                    for r in eng.state_as_of(e["batch_id"]).collect()
+                }
+                exp_df = last_writer_wins_agg(
+                    log.filter(F.col("lsn") <= e["lsn_hi"]),
+                    ["repo", "path"],
+                )
+                exp = {
+                    (r["repo"], r["path"], r["content"], r["lsn"])
+                    for r in exp_df.filter(F.col("op") != "delete").collect()
+                }
+                assert snap == exp, f"seed {seed} batch {e['batch_id']}"
+
+    def test_pointer_protocol_snapshot(self, spark, tmp_path):
+        """The feed is protocol-independent (plain per-batch dirs);
+        time travel must work unchanged on a pointer-committed store."""
+        log = spark.createDataFrame(
+            [row("r", f"p{i}", f"v{i}", i + 1) for i in range(6)]
+            + [row("r", "p0", None, 11, "delete")],
+            LOG_SCHEMA,
+        )
+        eng = CdcEngine(
+            spark,
+            str(tmp_path / "state"),
+            str(tmp_path / "m.jsonl"),
+            normalize=None,
+            commit_protocol="pointer",
+            changes_dir=str(tmp_path / "changes"),
+        )
+        entries = eng.replay(log, batch_size=10)
+        assert snap_tuples(eng.state_as_of(entries[0]["batch_id"])) == sorted(
+            ("r", f"p{i}", f"v{i}", i + 1) for i in range(6)
+        )
+        cols = ["repo", "path", "content", "lsn"]
+        a = sorted(map(tuple, eng.state_as_of(entries[-1]["batch_id"])
+                       .select(*cols).collect()))
+        b = sorted(map(tuple, eng.final_state().select(*cols).collect()))
+        assert a == b and len(a) == 5
+
+
 class TestStreamingChangeFeed:
     def test_stream_epochs_publish_feed_and_time_travel(self, spark, tmp_path):
         from rfb_cnpj_etl_spark.streaming.pipeline import StreamingCdcPipeline
