@@ -39,11 +39,17 @@ class StreamingCdcPipeline:
         schema=None,
         minhash_index=None,
         changes_dir: str | None = None,
+        source_is_feed: bool = False,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        #: consume another engine's CDC-out feed instead of a raw
+        #: changelog dir: stage N's ``changes_dir`` is this stage's
+        #: ``source_dir`` (see :func:`change_feed_stream`) — continuous
+        #: pipeline chaining with no intermediate format.
+        self.source_is_feed = source_is_feed
         # Structured Streaming fixes the source schema at query start, so
         # add-column evolution mid-STREAM is not possible in Spark; the
         # supported flow is: stop the query, restart the pipeline with
@@ -105,11 +111,19 @@ class StreamingCdcPipeline:
         """Start the stream. ``available_now=True`` drains everything
         currently in the source and stops (test/replay mode); False
         tails the directory continuously."""
-        stream = (
-            self.spark.readStream.schema(self.schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.source_dir)
-        )
+        if self.source_is_feed:
+            stream = change_feed_stream(
+                self.spark,
+                self.source_dir,
+                schema=None if self.schema is CHANGELOG_SCHEMA else self.schema,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
+        else:
+            stream = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self.source_dir)
+            )
         writer = (
             stream.writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -122,6 +136,70 @@ class StreamingCdcPipeline:
     def run_until_drained(self) -> None:
         q = self.start(available_now=True)
         q.awaitTermination()
+
+
+def change_feed_stream(
+    spark: SparkSession,
+    changes_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 8,
+    as_changelog: bool = True,
+) -> DataFrame:
+    """The CDC-out change feed as a Structured Streaming SOURCE — the
+    piece that makes pipeline chaining continuous: stage N publishes
+    per-batch feed dirs (``changes_dir/batch=<id>/``, atomic rename),
+    stage N+1 tails them with a ``batch=*`` glob file stream. Because
+    each dir appears atomically and parquet part files are immutable,
+    the file source's discovery is torn-read-free by construction; the
+    ``_feed_meta.json`` sidecar is underscore-prefixed and ignored.
+
+    ``as_changelog=True`` maps the feed back to the engine's changelog
+    contract (``change_type`` → ``op``: delete stays delete, insert /
+    update become upsert; ``prev_lsn`` dropped) so the stream feeds
+    straight into ``StreamingCdcPipeline``/``CdcEngine.replay`` —
+    ordering is irrelevant to correctness because the LWW fold is
+    order-free by lsn. ``as_changelog=False`` yields raw feed rows.
+
+    ``schema``: Structured Streaming needs a fixed schema up front; by
+    default it is inferred ONCE from the already-published dirs (a
+    footer-only batch read). Pass it explicitly to start a tail before
+    the first batch is published, or to pin a pre-evolution schema.
+    """
+    import os
+
+    if schema is None:
+        dirs = (
+            [
+                os.path.join(changes_dir, d)
+                for d in sorted(os.listdir(changes_dir))
+                if d.startswith("batch=")
+            ]
+            if os.path.isdir(changes_dir)
+            else []
+        )
+        if not dirs:
+            raise ValueError(
+                f"no published change-feed batches under {changes_dir}; "
+                "pass schema= to tail a feed that has not produced yet"
+            )
+        schema = (
+            spark.read.option("mergeSchema", "true").parquet(*dirs).schema
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # new batch dirs must keep being discovered after the first
+        # epoch: the glob is part of the path, not a one-shot listing
+        .parquet(os.path.join(changes_dir, "batch=*"))
+    )
+    if not as_changelog:
+        return stream
+    return stream.withColumn(
+        "op",
+        F.when(F.col("change_type") == "delete", "delete").otherwise(
+            "upsert"
+        ),
+    ).drop("change_type", "prev_lsn")
 
 
 def streaming_dedup_events(

@@ -267,6 +267,86 @@ class TestStreamingChangeFeed:
         assert a == b and len(a) == 5  # 6 inserts, p1 deleted
 
 
+class TestFeedAsStreamSource:
+    def test_feed_stream_drains_published_batches(self, spark, tmp_path):
+        """change_feed_stream: the feed's batch=* dirs are a Structured
+        Streaming source; as_changelog maps change_type back to op."""
+        from rfb_cnpj_etl_spark.streaming.pipeline import change_feed_stream
+
+        log = spark.createDataFrame(
+            [row("r", f"p{i}", f"v{i}", i + 1) for i in range(8)]
+            + [row("r", "p1", None, 11, "delete")],
+            LOG_SCHEMA,
+        )
+        eng = engine(spark, tmp_path)
+        eng.replay(log, batch_size=10)  # 2 windows → 2 feed dirs
+
+        stream = change_feed_stream(
+            spark, eng.changes_dir, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("feed_tail")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("select * from feed_tail")
+        assert sorted(got.columns) == sorted(
+            ["repo", "path", "commit", "lang", "content", "lsn", "op"]
+        )
+        ops = {
+            (r["repo"], r["path"], r["op"], r["lsn"]) for r in got.collect()
+        }
+        assert ("r", "p1", "delete", 11) in ops
+        assert len(ops) == 9  # 8 inserts + 1 delete
+
+    def test_downstream_pipeline_tails_feed_across_restarts(
+        self, spark, tmp_path
+    ):
+        """Continuous chaining: stage N keeps publishing feed batches;
+        stage N+1 (StreamingCdcPipeline(source_is_feed=True)) drains,
+        stage N publishes MORE, stage N+1 resumes on the same
+        checkpoint and must discover the new batch=* dirs — ending
+        hash-equal to the upstream state."""
+        from rfb_cnpj_etl_spark.streaming.pipeline import StreamingCdcPipeline
+
+        up = engine(spark, tmp_path, "up")
+        leg1 = spark.createDataFrame(
+            [row("r", f"p{i}", f"v{i}", i + 1) for i in range(6)], LOG_SCHEMA
+        )
+        up.replay(leg1, batch_size=10)
+
+        def drain():
+            StreamingCdcPipeline(
+                spark,
+                up.changes_dir,
+                str(tmp_path / "down_state"),
+                str(tmp_path / "down_m.jsonl"),
+                str(tmp_path / "down_ckpt"),
+                source_is_feed=True,
+            ).run_until_drained()
+
+        drain()
+        leg2 = spark.createDataFrame(
+            [row("r", "p0", "v0b", 11), row("r", "p1", None, 12, "delete"),
+             row("r", "pZ", "vz", 13)],
+            LOG_SCHEMA,
+        )
+        up.replay(leg2, batch_size=10)
+        drain()  # same checkpoint → only the new feed dirs are read
+
+        cols = ["repo", "path", "content_sha256", "lsn"]
+        down = CdcEngine(
+            spark, str(tmp_path / "down_state"),
+            str(tmp_path / "down_m.jsonl"), normalize=None,
+        )
+        a = sorted(map(tuple, up.final_state().select(*cols).collect()))
+        b = sorted(map(tuple, down.final_state().select(*cols).collect()))
+        assert a == b and len(a) == 6  # 6+1 inserts − 1 delete
+
+
 class TestSnapshotCli:
     def test_snapshot_verb_writes_parquet(self, spark, tmp_path, capsys):
         import json
