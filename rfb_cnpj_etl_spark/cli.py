@@ -161,6 +161,15 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_checkpoint(args) -> int:
+    """Publish a snapshot checkpoint into the change feed so later
+    time travel folds from it (and retention can prune covered dirs)."""
+    eng = _engine(args)
+    res = eng.checkpoint_feed(args.as_of)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_verify(args) -> int:
     eng = _engine(args)
     log = eng.spark.read.parquet(args.log)
@@ -369,6 +378,20 @@ def main(argv: list[str] | None = None) -> int:
         "--out", default=None, help="write the snapshot as parquet here"
     )
     sp.set_defaults(fn=cmd_snapshot)
+
+    sp = sub.add_parser(
+        "checkpoint",
+        help="materialize a snapshot checkpoint into the change feed "
+        "(bounds time-travel folds; makes retention pruning safe)",
+    )
+    common(sp)
+    sp.add_argument("--changes-dir", required=True)
+    sp.add_argument(
+        "--as-of",
+        default=None,
+        help="manifest batch_id to checkpoint (default: newest batch)",
+    )
+    sp.set_defaults(fn=cmd_checkpoint)
 
     sp = sub.add_parser("verify", help="sha256 differential vs oracle final state")
     common(sp)

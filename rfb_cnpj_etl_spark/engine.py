@@ -538,8 +538,8 @@ class CdcEngine:
                 )
 
         if self.changes_dir and policy.changes_retention_batches is not None:
-            pruned = self._prune_batch_dirs(
-                self.changes_dir, policy.changes_retention_batches
+            pruned = self._prune_change_feed(
+                policy.changes_retention_batches
             )
             if pruned:
                 actions.append(
@@ -579,6 +579,48 @@ class CdcEngine:
         return CdcEngine._prune_batch_dirs(
             os.path.join(index.path, "pairs"), retention
         )
+
+    def _prune_change_feed(self, retention: int) -> int:
+        """Count-based feed retention, made time-travel-safe once a
+        snapshot checkpoint exists: only batch dirs the NEWEST
+        checkpoint covers (manifest position ≤ the checkpoint's) are
+        eligible for pruning — removing an uncovered dir would destroy
+        ``state_as_of`` for every later batch. Without a checkpoint the
+        behavior is the original opt-in count prune (documented as
+        trading time travel for space). Dirs not in the manifest (the
+        published-but-uncommitted crash window) are never touched — the
+        re-driven batch reuses them."""
+        import shutil
+
+        root = self.changes_dir
+        if not os.path.isdir(root):
+            return 0
+        dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+        if len(dirs) <= retention:
+            return 0
+        cps = self._feed_checkpoints()
+        ids = [e["batch_id"] for e in self._merge_entries()]
+        pos = {bid: i for i, bid in enumerate(ids)}
+        if not cps:
+            return self._prune_batch_dirs(root, retention)
+        newest_cp = max(
+            (pos[b] for b in cps if b in pos), default=None
+        )
+        if newest_cp is None:
+            return self._prune_batch_dirs(root, retention)
+        removable = sorted(
+            (
+                d
+                for d in dirs
+                if pos.get(d.split("=", 1)[1], newest_cp + 1) <= newest_cp
+            ),
+            key=lambda d: pos[d.split("=", 1)[1]],
+        )
+        removed = 0
+        for d in removable[: len(dirs) - retention]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed += 1
+        return removed
 
     @staticmethod
     def _prune_batch_dirs(root: str, retention: int) -> int:
@@ -665,75 +707,218 @@ class CdcEngine:
             .parquet(*dirs)
         )
 
+    def _merge_entries(self) -> list[dict]:
+        """Manifest entries that mutated row content, in commit order —
+        merge entries carry a ``mode`` metric; maintenance / rebucket /
+        checkpoint entries don't and are skipped."""
+        return [e for e in self.manifest.entries() if "mode" in e]
+
+    def _feed_checkpoints(self) -> dict[str, str]:
+        """Published snapshot checkpoints inside the change feed:
+        ``{batch_id: dir}`` for every ``checkpoint=<batch_id>`` dir
+        under ``changes_dir``. Discovery is filesystem-only (the atomic
+        publish rename is the commit point — a torn ``.staging`` is
+        invisible), so a crash between publish and the advisory
+        manifest entry loses nothing."""
+        if not (self.changes_dir and os.path.isdir(self.changes_dir)):
+            return {}
+        return {
+            d.split("=", 1)[1]: os.path.join(self.changes_dir, d)
+            for d in os.listdir(self.changes_dir)
+            if d.startswith("checkpoint=") and not d.endswith(".staging")
+        }
+
+    def checkpoint_feed(self, batch_id: str | None = None) -> dict:
+        """Materialize a snapshot checkpoint into the change feed (the
+        Iceberg expire-snapshots-behind-a-kept-snapshot analog): the
+        full state as of ``batch_id`` (default: the newest applied
+        batch), published atomically under
+        ``changes_dir/checkpoint=<batch_id>/``.
+
+        Why it exists at 10^10 rows: ``state_as_of`` folds the feed
+        prefix, which grows with TOTAL churn — unbounded on a
+        long-lived table — and retention (which bounds it) destroyed
+        time travel entirely. A checkpoint caps the fold at
+        O(state-at-checkpoint + churn-since) and makes it safe for
+        retention to prune every feed dir the checkpoint covers
+        (``maintain`` only prunes covered dirs once one exists). It
+        also unlocks time travel for engines that enabled
+        ``changes_dir`` mid-life: batches after the checkpoint are
+        reconstructible even though the feed never saw the early
+        history. The reference has no history at all — each monthly
+        drop rebuilds the database (db/sqlite_builder.py:170-177);
+        this is the graft's replacement for that reset.
+
+        Idempotent (an existing published dir is reused) and crash-safe
+        (stage → atomic rename; the advisory manifest entry commits
+        after, and discovery never depends on it)."""
+        import json
+        import shutil
+
+        if not self.changes_dir:
+            raise ValueError(
+                "engine was built without changes_dir; checkpoints live "
+                "inside the change feed"
+            )
+        entries = self._merge_entries()
+        if not entries:
+            raise ValueError("no applied batches to checkpoint")
+        ids = [e["batch_id"] for e in entries]
+        if batch_id is None:
+            batch_id = ids[-1]
+        if batch_id not in ids:
+            raise ValueError(f"batch {batch_id!r} not in the manifest")
+        out_dir = os.path.join(self.changes_dir, f"checkpoint={batch_id}")
+        meta_path = os.path.join(out_dir, StateTable.FEED_META)
+        if os.path.isdir(out_dir):
+            rows = None
+            try:
+                with open(meta_path, encoding="utf-8") as f:
+                    rows = int(json.load(f)["rows"])
+            except (OSError, ValueError, KeyError):
+                pass
+            return {"checkpoint_of": batch_id, "rows": rows, "reused": True}
+
+        if batch_id == ids[-1]:
+            # newest batch: the live state IS the snapshot — one state
+            # scan, no feed fold (and no feed-coverage requirement,
+            # which is what lets a late-enabled feed bootstrap)
+            snap = self.state.read()
+        else:
+            snap = self.state_as_of(batch_id)
+        drop = [
+            c
+            for c in ("bucket", "content_sha256", self.state.op_col)
+            if c in snap.columns
+        ]
+        snap = snap.drop(*drop)
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        snap = snap.observe(obs, F.count(F.lit(1)).alias("rows"))
+        staging = f"{out_dir}.staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        snap.write.mode("overwrite").parquet(staging)
+        try:
+            rows = int(obs.get["rows"])
+        except Exception:  # noqa: BLE001 — AQE may prune the metrics node
+            from .operators.store import parquet_footer_rows
+
+            rows = parquet_footer_rows(staging)
+        with open(
+            os.path.join(staging, StateTable.FEED_META), "w", encoding="utf-8"
+        ) as f:
+            json.dump({"rows": rows, "checkpoint_of": batch_id}, f)
+        os.rename(staging, out_dir)  # atomic publish
+        hw = self.manifest.high_watermark()
+        self.manifest.commit(
+            {
+                "batch_id": f"feed_checkpoint_{self.manifest.count()}",
+                "lsn_lo": hw,
+                "lsn_hi": hw,
+                "schema_version": self.registry.version,
+                "checkpoint_of": batch_id,
+                "checkpoint_rows": rows,
+            }
+        )
+        return {"checkpoint_of": batch_id, "rows": rows, "reused": False}
+
     def state_as_of(self, batch_id: str) -> DataFrame:
         """Time travel (the Iceberg snapshot-read / Delta ``VERSION AS
         OF`` analog): reconstruct the state table exactly as it stood
         after ``batch_id`` committed, by LWW-folding the change feed's
-        committed prefix up to and including that batch.
+        committed prefix up to and including that batch — starting from
+        the newest covering snapshot checkpoint when one exists
+        (:meth:`checkpoint_feed`), else from the beginning of history.
 
-        Cost model at 10^10 rows: one columnar scan of the feed prefix
-        (net changes only — bounded by churn, not state size) plus one
-        map-side-combining hash aggregate; NO per-batch state copies are
-        ever written, which is what makes every batch a readable
-        snapshot for free. Correctness: each batch's feed is its net
-        diff vs the pre-batch state (``_emit_changes``), so the ordered
-        union of feed prefixes replayed under the same LWW fold
-        (max lsn, delete-priority tie-break) reproduces the post-batch
-        state exactly — including keys deleted and later re-inserted.
+        Cost model at 10^10 rows: one columnar scan of the fold input
+        (net changes only — bounded by churn since the checkpoint, not
+        state size) plus one map-side-combining hash aggregate; NO
+        per-batch state copies are ever written, which is what makes
+        every batch a readable snapshot for free. Correctness: each
+        batch's feed is its net diff vs the pre-batch state
+        (``_emit_changes``) and a checkpoint is the exact post-batch
+        state with original LSNs, so the union replayed under the same
+        LWW fold (max lsn, delete-priority tie-break) reproduces the
+        post-batch state exactly — including keys deleted and later
+        re-inserted (LSN windows are disjoint across batches, so
+        post-checkpoint changes always outrank checkpoint rows).
 
-        Requires the feed to cover the WHOLE history up to ``batch_id``:
-        the engine must have had ``changes_dir`` set from the first
-        batch, and retention must not have pruned a prefix dir (both
-        raise ``ValueError`` rather than silently reconstructing from a
-        partial feed)."""
+        Requires the feed to cover the history from the chosen starting
+        point up to ``batch_id``: batches predating the feed or pruned
+        by retention raise ``ValueError`` (never a silent partial
+        reconstruction) unless a checkpoint covers them."""
         if not self.changes_dir:
             raise ValueError(
                 "engine was built without changes_dir; time travel folds "
                 "the change feed"
             )
+        entries = self._merge_entries()
+        ids = [e["batch_id"] for e in entries]
+        try:
+            target = ids.index(batch_id)
+        except ValueError:
+            raise ValueError(f"batch {batch_id!r} not in the manifest")
+        cps = self._feed_checkpoints()
+        cp_dir = None
+        start = 0
+        for i in range(target, -1, -1):
+            if ids[i] in cps:
+                cp_dir = cps[ids[i]]
+                start = i + 1
+                break
         dirs: list[str] = []
-        found = False
-        for e in self.manifest.entries():
-            # merge entries carry a "mode" metric; maintenance /
-            # rebucket entries don't mutate row content and are skipped
-            if "mode" not in e:
-                continue
+        for e in entries[start : target + 1]:
             if "change_rows" not in e:
                 raise ValueError(
                     f"batch {e['batch_id']!r} predates the change feed; "
                     "state_as_of needs changes_dir set for the whole "
-                    "history"
+                    "history (or a covering checkpoint_feed snapshot)"
                 )
             d = os.path.join(self.changes_dir, f"batch={e['batch_id']}")
             if not os.path.isdir(d):
                 raise ValueError(
                     f"change-feed dir for batch {e['batch_id']!r} was "
                     "pruned (changes_retention_batches); snapshot "
-                    "unavailable"
+                    "unavailable (create a checkpoint_feed before "
+                    "pruning to keep later batches reconstructible)"
                 )
             dirs.append(d)
-            if e["batch_id"] == batch_id:
-                found = True
-                break
-        if not found:
-            raise ValueError(f"batch {batch_id!r} not in the manifest")
         from .operators.dedup import OP_DELETE, OP_UPSERT, last_writer_wins_agg
 
-        feed = (
-            self.spark.read.option("basePath", self.changes_dir)
-            .option("mergeSchema", "true")
-            .parquet(*dirs)
-            .drop("batch", f"prev_{self.state.lsn_col}")
-        )
         op_col = self.state.op_col
-        feed = feed.withColumn(
-            op_col,
-            F.when(F.col("change_type") == "delete", OP_DELETE).otherwise(
-                OP_UPSERT
-            ),
-        ).drop("change_type")
+        parts: list[DataFrame] = []
+        if cp_dir is not None:
+            parts.append(
+                self.spark.read.parquet(cp_dir).withColumn(
+                    op_col, F.lit(OP_UPSERT)
+                )
+            )
+        if dirs:
+            feed = (
+                self.spark.read.option("basePath", self.changes_dir)
+                .option("mergeSchema", "true")
+                .parquet(*dirs)
+                .drop("batch", f"prev_{self.state.lsn_col}")
+            )
+            parts.append(
+                feed.withColumn(
+                    op_col,
+                    F.when(
+                        F.col("change_type") == "delete", OP_DELETE
+                    ).otherwise(OP_UPSERT),
+                ).drop("change_type")
+            )
+        merged = parts[0]
+        if len(parts) == 2:
+            # allowMissingColumns: columns added after the checkpoint
+            # (or between feed vintages) NULL-fill, the state table's
+            # own evolution contract
+            merged = parts[0].unionByName(parts[1], allowMissingColumns=True)
         folded = last_writer_wins_agg(
-            feed, self.state.keys, self.state.lsn_col, op_col
+            merged, self.state.keys, self.state.lsn_col, op_col
         )
         out = folded.filter(F.col(op_col) != OP_DELETE).drop(op_col)
         # match final_state()'s schema contract: the per-row content
