@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_replay": Q.cdc_mor_replay,
         "cdc_change_feed": Q.cdc_change_feed,
         "cdc_time_travel": Q.cdc_time_travel,
+        "cdc_checkpoint_travel": Q.cdc_checkpoint_travel,
         "cdc_first_writer_wins": Q.cdc_first_writer_wins,
         "cdc_prioritized_dedup": Q.cdc_prioritized_dedup,
         "cdc_repo_stats": Q.cdc_repo_stats,
@@ -411,6 +412,25 @@ def oracle_sql() -> dict[str, str]:
             p AS (SELECT (MAX(lsn) + 4) // 4 AS bs FROM log),
             pre AS (
               SELECT * FROM log WHERE lsn < 2 * (SELECT bs FROM p)
+            )
+            SELECT repo, path,
+                   arg_max("commit", lsn) AS commit,
+                   arg_max(lang, lsn)     AS lang,
+                   arg_max(content, lsn)  AS content,
+                   max(lsn)               AS lsn,
+                   sha256(arg_max(content, lsn)) AS content_sha256
+            FROM pre GROUP BY repo, path
+            HAVING arg_max(op, lsn) <> 'delete'
+        """,
+        # Checkpointed time travel: the engine checkpoints the state at
+        # the 2-window boundary, prunes every covered feed dir, and
+        # reconstructs as of the 3-window boundary from checkpoint +
+        # surviving feed. Must equal the plain LWW truncated at 3·bs.
+        "cdc_checkpoint_travel": f"""
+            WITH log AS ({_LOG}),
+            p AS (SELECT (MAX(lsn) + 4) // 4 AS bs FROM log),
+            pre AS (
+              SELECT * FROM log WHERE lsn < 3 * (SELECT bs FROM p)
             )
             SELECT repo, path,
                    arg_max("commit", lsn) AS commit,

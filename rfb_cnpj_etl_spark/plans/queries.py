@@ -227,6 +227,75 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def cdc_checkpoint_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel THROUGH a snapshot checkpoint: replay in 4
+    absolute-LSN windows with the feed on, checkpoint the last batch
+    inside the first two windows, DESTROY every feed dir the checkpoint
+    covers (what retention does at scale — asserted non-vacuous), then
+    reconstruct the state as of the last batch inside the first THREE
+    windows. The fold must run checkpoint + surviving feed dirs — a
+    plain prefix fold would raise on the pruned dirs — and equal a
+    pure-SQL LWW of the log truncated at lsn < 3·bs. This is the
+    bounded-fold path a 10^10-row table actually uses: O(state-at-
+    checkpoint + churn-since), never O(total churn)."""
+    import os
+    import shutil
+    import tempfile
+
+    log = changelog_from_events(spark, sf_dir)
+    hi = log.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+    bs = (int(hi) + CHANGE_FEED_WINDOWS) // CHANGE_FEED_WINDOWS
+    work = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="cp_travel_", dir=work)
+    try:
+        from ..engine import CdcEngine
+
+        eng = CdcEngine(
+            spark,
+            f"{path}/state",
+            f"{path}/m.jsonl",
+            normalize=None,
+            changes_dir=f"{path}/changes",
+        )
+        entries = eng.replay(log, batch_size=bs)
+        cp_batch = [e for e in entries if e["lsn_hi"] < 2 * bs][-1]
+        eng.checkpoint_feed(cp_batch["batch_id"])
+        covered = [
+            e["batch_id"]
+            for e in entries
+            if e["lsn_hi"] <= cp_batch["lsn_hi"]
+        ]
+        removed = 0
+        for bid in covered:
+            d = f"{path}/changes/batch={bid}"
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed += 1
+        if removed == 0:
+            raise AssertionError(
+                "no covered feed dirs existed to prune — the checkpoint "
+                "path would go unexercised"
+            )
+        target = [e for e in entries if e["lsn_hi"] < 3 * bs][-1]["batch_id"]
+        out = eng.state_as_of(target).select(
+            "repo", "path", "commit", "lang", "content", "lsn",
+            "content_sha256",
+        )
+        n = out.count()
+        if n <= MOR_REPLAY_COLLECT_MAX:
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        import atexit
+
+        keep = tempfile.mkdtemp(prefix="cp_travel_out_", dir=work)
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        dest = os.path.join(keep, "snap")
+        out.write.mode("overwrite").parquet(dest)
+        return spark.read.parquet(dest)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def cdc_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 INSERT OR IGNORE intent: keep the first event per key."""
     log = changelog_from_events(spark, sf_dir)
