@@ -236,6 +236,12 @@ def cmd_maintain(args) -> int:
         auto_compact=not args.dry_run,
         rebucket_above_bucket_bytes=args.rebucket_above_bytes,
         auto_rebucket=args.auto_rebucket and not args.dry_run,
+        feed_checkpoint_every=(
+            None if args.dry_run else args.feed_checkpoint_every
+        ),
+        changes_retention_batches=(
+            None if args.dry_run else args.changes_retention
+        ),
     )
     report = eng.maintain(policy, minhash_index=idx)
     report.pop("manifest_entry", None)
@@ -447,6 +453,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-files-per-bucket", type=int, default=8)
     sp.add_argument("--rebucket-above-bytes", type=int, default=None)
     sp.add_argument("--auto-rebucket", action="store_true")
+    sp.add_argument(
+        "--changes-dir",
+        default=None,
+        help="the engine's change feed (enables the two feed knobs below)",
+    )
+    sp.add_argument(
+        "--feed-checkpoint-every",
+        type=int,
+        default=None,
+        help="auto-publish a feed snapshot checkpoint once this many "
+        "batches committed since the newest one (runs before retention)",
+    )
+    sp.add_argument(
+        "--changes-retention",
+        type=int,
+        default=None,
+        help="keep only the newest N feed batch dirs (only "
+        "checkpoint-covered dirs are pruned once a checkpoint exists)",
+    )
     sp.add_argument(
         "--dry-run",
         action="store_true",

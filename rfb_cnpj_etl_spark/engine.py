@@ -74,6 +74,15 @@ class MaintenancePolicy:
     #: O(C²) candidates through its band key — the operator knob this
     #: feeds is ``max_fanout`` on ingest/incremental_pairs.
     max_posting_list: int | None = None
+    #: auto-publish a feed snapshot checkpoint (``checkpoint_feed`` at
+    #: the newest applied batch — one state scan, no fold) once this
+    #: many merge batches committed since the newest checkpoint. Runs
+    #: BEFORE the feed retention prune, so a policy setting both knobs
+    #: keeps the feed bounded AND every batch time-travel-reachable
+    #: with no manual operator step: ``state_as_of`` folds
+    #: O(state + churn-since-checkpoint) and the prune only ever
+    #: removes covered dirs. None = checkpoints stay manual.
+    feed_checkpoint_every: int | None = None
 
     def plan(self, health: dict) -> list[str]:
         """Actions a store's health report calls for."""
@@ -535,6 +544,24 @@ class CdcEngine:
                         "action": "prune",
                         "removed_batch_dirs": pruned,
                     }
+                )
+
+        if self.changes_dir and policy.feed_checkpoint_every is not None:
+            # checkpoint cadence: merge batches committed since the
+            # newest published checkpoint (all of history when none
+            # exists yet). Checkpointing the NEWEST batch reads the live
+            # state directly — one scan, no feed fold — and must run
+            # before the retention prune below so the prune's
+            # covered-dirs-only rule has a fresh horizon to work under.
+            ids = [e["batch_id"] for e in self._merge_entries()]
+            cps = self._feed_checkpoints()
+            newest_cp = max(
+                (i for i, b in enumerate(ids) if b in cps), default=-1
+            )
+            if ids and len(ids) - 1 - newest_cp >= policy.feed_checkpoint_every:
+                res = self.checkpoint_feed()
+                actions.append(
+                    {"store": "change_feed", "action": "checkpoint", **res}
                 )
 
         if self.changes_dir and policy.changes_retention_batches is not None:

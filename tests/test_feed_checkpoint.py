@@ -288,6 +288,90 @@ class TestCheckpointAwareRetention:
         with pytest.raises(ValueError, match="pruned"):
             eng.state_as_of(entries[-1]["batch_id"])
 
+    def test_policy_auto_checkpoint_cadence(self, spark, tmp_path):
+        """feed_checkpoint_every: maintenance publishes the checkpoint
+        itself (at the newest batch — live-state read), re-arms only
+        after enough NEW batches, and runs before the retention prune so
+        one policy keeps the feed bounded and time-travel-safe with no
+        manual step."""
+        eng = engine(spark, tmp_path)
+        policy = MaintenancePolicy(
+            max_files_per_bucket=10_000,
+            feed_checkpoint_every=3,
+            changes_retention_batches=1,
+        )
+        log = spark.createDataFrame(
+            [row("r", f"p{i}", f"v{i}", i + 1) for i in range(6)],
+            LOG_SCHEMA,
+        )
+        entries = eng.replay(log, batch_size=3)
+        assert len(entries) == 3  # lsn 1-2, 3-5, 6
+        report = eng.maintain(policy)
+        cp_actions = [
+            a for a in report["actions"]
+            if a["store"] == "change_feed" and a["action"] == "checkpoint"
+        ]
+        assert len(cp_actions) == 1
+        assert cp_actions[0]["checkpoint_of"] == entries[-1]["batch_id"]
+        # the SAME maintenance cycle then pruned the covered dirs
+        pruned = [
+            a for a in report["actions"]
+            if a["store"] == "change_feed" and a["action"] == "prune"
+        ]
+        assert pruned and pruned[0]["removed_batch_dirs"] == 2
+        # cadence re-arms: 2 more batches < every=3 → no new checkpoint
+        # (absolute-LSN windows: lsn 12-17 spans exactly [12,15)+[15,18))
+        more = spark.createDataFrame(
+            [row("r", f"q{i}", f"w{i}", 12 + i) for i in range(6)],
+            LOG_SCHEMA,
+        )
+        entries2 = eng.replay(more, batch_size=3)
+        assert len(entries2) == 2
+        report2 = eng.maintain(policy)
+        assert not [
+            a for a in report2["actions"] if a.get("action") == "checkpoint"
+        ]
+        # third new batch crosses the cadence → a second checkpoint
+        entries3 = eng.replay(
+            spark.createDataFrame([row("r", "z", "vz", 30)], LOG_SCHEMA),
+            batch_size=3,
+        )
+        report3 = eng.maintain(policy)
+        cp3 = [
+            a for a in report3["actions"] if a.get("action") == "checkpoint"
+        ]
+        assert len(cp3) == 1
+        assert cp3[0]["checkpoint_of"] == entries3[-1]["batch_id"]
+        # the whole history stays reachable through it all
+        cols = ["repo", "path", "content", "lsn"]
+        a = sorted(map(tuple, eng.state_as_of(entries3[-1]["batch_id"])
+                       .select(*cols).collect()))
+        b = sorted(map(tuple, eng.final_state().select(*cols).collect()))
+        assert a == b and len(a) == 13
+
+    def test_policy_checkpoint_noop_without_feed_or_batches(
+        self, spark, tmp_path
+    ):
+        """The knob is inert on a feed-less engine and on an engine
+        whose newest batch is already checkpointed."""
+        no_feed = CdcEngine(
+            spark, str(tmp_path / "s2"), str(tmp_path / "m2.jsonl"),
+            normalize=None,
+        )
+        policy = MaintenancePolicy(
+            max_files_per_bucket=10_000, feed_checkpoint_every=1
+        )
+        assert no_feed.maintain(policy)["actions"] == []
+        eng = engine(spark, tmp_path)
+        eng.replay(
+            spark.createDataFrame([row("r", "a", "v", 1)], LOG_SCHEMA),
+            batch_size=10,
+        )
+        r1 = eng.maintain(policy)
+        assert [a["action"] for a in r1["actions"]] == ["checkpoint"]
+        r2 = eng.maintain(policy)  # newest batch already covered
+        assert r2["actions"] == []
+
     def test_under_retention_noop(self, spark, tmp_path):
         eng = engine(spark, tmp_path)
         eng.replay(
@@ -337,6 +421,51 @@ class TestCheckpointCli:
         )
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["rows"] == 5 and out["reused"] is False
+        assert any(
+            d.startswith("checkpoint=") for d in os.listdir(changes)
+        )
+
+    def test_maintain_feed_knobs(self, spark, tmp_path, capsys):
+        import json
+
+        from rfb_cnpj_etl_spark.cli import main
+
+        log_dir = str(tmp_path / "log")
+        spark.createDataFrame(
+            [row("r", f"p{i}", f"v{i}", i + 1) for i in range(9)],
+            LOG_SCHEMA,
+        ).write.parquet(log_dir)
+        state = str(tmp_path / "state")
+        manifest = str(tmp_path / "m.jsonl")
+        changes = str(tmp_path / "changes")
+        assert (
+            main(
+                [
+                    "replay", "--state", state, "--manifest", manifest,
+                    "--log", log_dir, "--batch-size", "3",
+                    "--changes-dir", changes,
+                ]
+            )
+            == 0
+        )
+        capsys.readouterr()
+        assert (
+            main(
+                [
+                    "maintain", "--state", state, "--manifest", manifest,
+                    "--changes-dir", changes,
+                    "--feed-checkpoint-every", "2",
+                    "--changes-retention", "1",
+                ]
+            )
+            == 0
+        )
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        acts = [
+            (a["store"], a["action"]) for a in report["actions"]
+        ]
+        assert ("change_feed", "checkpoint") in acts
+        assert ("change_feed", "prune") in acts
         assert any(
             d.startswith("checkpoint=") for d in os.listdir(changes)
         )
