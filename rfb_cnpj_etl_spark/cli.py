@@ -104,6 +104,10 @@ def cmd_replay(args) -> int:
                 "batches_skipped": sum(1 for e in entries if e.get("skipped")),
                 "high_watermark": eng.manifest.high_watermark(),
                 "rows": rows,
+                # observability: which master actually ran the job — under
+                # spark-submit this must be the submitted one, not any
+                # env-var fallback (tests/test_spark_submit.py asserts it)
+                "master": eng.spark.sparkContext.master,
             }
         )
     )

@@ -53,7 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     # Only pin a master when not already provided by spark-submit.
-    if "SPARK_GRAFT_MASTER" in os.environ:
+    # Under spark-submit, PythonRunner launches this driver with
+    # PYSPARK_GATEWAY_PORT set (the JVM already carries --master); pinning
+    # local[] here would override the submitted cluster master.
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        pass  # spark-submit owns the master
+    elif "SPARK_GRAFT_MASTER" in os.environ:
         builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
     else:
         builder = builder.master(f"local[{cores}]")
