@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": Q.cdc_change_feed,
         "cdc_time_travel": Q.cdc_time_travel,
         "cdc_checkpoint_travel": Q.cdc_checkpoint_travel,
+        "cdc_incremental_agg": Q.cdc_incremental_agg,
         "cdc_first_writer_wins": Q.cdc_first_writer_wins,
         "cdc_prioritized_dedup": Q.cdc_prioritized_dedup,
         "cdc_repo_stats": Q.cdc_repo_stats,
@@ -402,6 +403,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE plsn END AS prev_lsn
             FROM seq
             WHERE NOT (op = 'delete' AND (prev_op IS NULL OR prev_op = 'delete'))
+        """,
+        # Incremental view maintenance: a materialized GROUP BY advanced
+        # per replay window from the preimage-carrying change feed alone
+        # (insert/update add, *_preimage subtract; the state table is
+        # deleted before the last refresh) must equal a from-scratch
+        # GROUP BY over the LWW final state.
+        "cdc_incremental_agg": f"""
+            WITH log AS ({_LOG}),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log
+            ),
+            state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+            SELECT repo, lang,
+                   count(*) AS n,
+                   -- DuckDB sum(BIGINT) yields HUGEINT; cast to Spark's type
+                   CAST(sum(length(content)) AS BIGINT) AS content_chars
+            FROM state GROUP BY repo, lang ORDER BY repo, lang
         """,
         # Time travel: the engine's state_as_of (change-feed prefix
         # fold) must equal a plain LWW over the log truncated at the

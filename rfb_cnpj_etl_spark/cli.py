@@ -45,6 +45,7 @@ def _engine(args) -> CdcEngine:
         merge_mode=getattr(args, "merge_mode", "auto"),
         commit_protocol=getattr(args, "commit_protocol", "rename"),
         changes_dir=getattr(args, "changes_dir", None),
+        feed_preimages=getattr(args, "feed_preimages", False),
     )
 
 
@@ -358,6 +359,14 @@ def main(argv: list[str] | None = None) -> int:
         help="publish each batch's net row-level changes (CDC-out: "
         "insert/update/delete + before-image LSN) under this dir — "
         "the Delta Change-Data-Feed analog; read back with `changes`",
+    )
+    sp.add_argument(
+        "--feed-preimages",
+        action="store_true",
+        help="also publish the replaced row for every update/delete "
+        "(update_preimage/delete_preimage rows, the Delta CDF preimage "
+        "analog) so downstream incremental aggregates can subtract "
+        "retired contributions without reading the state table",
     )
     sp.set_defaults(fn=cmd_replay)
 

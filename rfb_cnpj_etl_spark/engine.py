@@ -139,6 +139,7 @@ class CdcEngine:
         merge_mode: str = "auto",
         commit_protocol: str = "rename",
         changes_dir: str | None = None,
+        feed_preimages: bool = False,
     ) -> None:
         self.spark = spark
         self.manifest = Manifest(manifest_path)
@@ -163,6 +164,7 @@ class CdcEngine:
             buckets or recorded or 32,
             # fresh-table default; an existing table's marker wins
             commit_protocol=commit_protocol,
+            feed_preimages=feed_preimages,
         )
         if salt_buckets is not None:
             import warnings
@@ -931,12 +933,17 @@ class CdcEngine:
                 .drop("batch", f"prev_{self.state.lsn_col}")
             )
             parts.append(
-                feed.withColumn(
+                # preimage rows (feed_preimages=True) restate REPLACED
+                # rows at their old lsn — LWW-transparent, but drop them
+                # so the fold input stays O(net changes)
+                feed.filter(~F.col("change_type").endswith("_preimage"))
+                .withColumn(
                     op_col,
                     F.when(
                         F.col("change_type") == "delete", OP_DELETE
                     ).otherwise(OP_UPSERT),
-                ).drop("change_type")
+                )
+                .drop("change_type")
             )
         merged = parts[0]
         if len(parts) == 2:

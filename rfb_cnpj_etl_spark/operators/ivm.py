@@ -1,0 +1,273 @@
+"""Incremental view maintenance (IVM) over the CDC-out change feed.
+
+Reference analog: the reference rebuilds every derived/reporting table
+from scratch on each monthly load (``docs/logs.md:26-40`` — the whole
+~197M-row corpus re-aggregated even when a fraction changed). At 10^10
+rows an O(state) GROUP BY per refresh is the read-side twin of the
+write-amplification flaw merge-on-read removed: the refresh cost must
+be O(churn), not O(corpus).
+
+:class:`IncrementalAggregate` maintains a materialized GROUP BY from
+the change feed ALONE — it never reads the state table. It requires
+the feed to be published with ``feed_preimages=True`` (the Delta
+CDF ``update_preimage`` analog): every update/delete row is
+accompanied by the row it replaced, so retired contributions are
+*subtracted* instead of recomputed:
+
+    insert            → + new row's contribution
+    update            → + new row's contribution
+    update_preimage   → − old row's contribution
+    delete_preimage   → − old row's contribution
+    delete            → 0 (its data columns are the incoming delete
+                          event's, not the retired row's)
+
+Only distributive aggregates maintain this way: a live-row count ``n``
+plus user sums (avg = sum/n at read time). Measures are cast to
+``long`` before signing, so cancellation is exact integer arithmetic —
+no float drift under unbounded churn (use scaled integers for
+fixed-point measures).
+
+Scale contract: one refresh reads O(unapplied churn) feed rows, folds
+them into an aggregate keyed by the group columns (O(groups) rows,
+map-side partial agg → one shuffle on the group key), and swaps the
+stored table atomically. Exactly-once mirrors the engine's manifest:
+the applied-batch set travels INSIDE the swapped directory, so a crash
+between write and swap re-applies idempotently and a redelivered batch
+is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: change_type values that contribute to the aggregate, with sign.
+_SIGNS = {
+    "insert": 1,
+    "update": 1,
+    "update_preimage": -1,
+    "delete_preimage": -1,
+}
+
+
+class IncrementalAggregate:
+    """A materialized GROUP BY maintained in O(churn) from a change
+    feed published with ``feed_preimages=True``.
+
+    ``sums`` maps output column name → SQL expression over a feed row
+    (e.g. ``{"content_chars": "length(content)"}``); the live-row count
+    column ``n`` is always maintained.
+    """
+
+    META = "_ivm_meta.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_cols: list[str],
+        sums: dict[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.sums = dict(sums or {})
+        clash = ({"n", *self.sums} & set(self.group_cols)) | (
+            {"n"} & set(self.sums)
+        )
+        if clash:
+            raise ValueError(f"measure/group name collision: {sorted(clash)}")
+        os.makedirs(self.path, exist_ok=True)
+        self._recover()
+        stored = self._meta()
+        if stored is not None:
+            spec = {"group_cols": self.group_cols, "sums": self.sums}
+            if stored.get("spec") != spec:
+                raise ValueError(
+                    f"aggregate at {self.path} was built with spec "
+                    f"{stored.get('spec')}, not {spec}; use a new path "
+                    "to change the view definition"
+                )
+
+    # -- storage --------------------------------------------------------
+
+    @property
+    def agg_dir(self) -> str:
+        return os.path.join(self.path, "agg")
+
+    def _recover(self) -> None:
+        """Heal the one crash window of the rename-aside swap: live dir
+        renamed aside but the staged replacement not yet renamed in."""
+        old = f"{self.agg_dir}.old"
+        if not os.path.isdir(self.agg_dir) and os.path.isdir(old):
+            os.replace(old, self.agg_dir)
+
+    def _meta(self) -> dict | None:
+        try:
+            with open(
+                os.path.join(self.agg_dir, self.META), encoding="utf-8"
+            ) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def exists(self) -> bool:
+        return self._meta() is not None
+
+    def applied(self) -> set[str]:
+        m = self._meta()
+        return set(m["applied"]) if m else set()
+
+    def read(self) -> DataFrame:
+        """The maintained aggregate: ``group_cols + n + <sums>``."""
+        self._recover()
+        if not self.exists():
+            raise ValueError(
+                f"aggregate at {self.path} has never been refreshed"
+            )
+        return self.spark.read.parquet(self.agg_dir)
+
+    # -- maintenance ----------------------------------------------------
+
+    def _contributions(self, feed: DataFrame) -> DataFrame:
+        sign = F.lit(None).cast("int")
+        for ct, s in _SIGNS.items():
+            sign = F.when(F.col("change_type") == ct, F.lit(s)).otherwise(
+                sign
+            )
+        c = feed.withColumn("__sign", sign).filter(F.col("__sign").isNotNull())
+        aggs = [F.sum("__sign").cast("long").alias("n")]
+        for name, expr in self.sums.items():
+            aggs.append(
+                F.sum(F.expr(expr).cast("long") * F.col("__sign")).alias(name)
+            )
+        return c.groupBy(*self.group_cols).agg(*aggs)
+
+    def _guard_preimages(self, feed: DataFrame) -> None:
+        """Fail loud if the feed lacks preimage rows — refreshing from a
+        preimage-less feed would silently double-count every update.
+        Invariant of ``StateTable._emit_changes(feed_preimages=True)``:
+        each update/delete row has exactly one preimage twin, so the
+        per-kind totals must match over any whole set of batches."""
+        counts = {
+            r["change_type"]: r["cnt"]
+            for r in feed.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        for kind in ("update", "delete"):
+            if counts.get(kind, 0) != counts.get(f"{kind}_preimage", 0):
+                raise ValueError(
+                    f"feed is missing {kind}_preimage rows "
+                    f"({counts.get(kind, 0)} {kind} vs "
+                    f"{counts.get(f'{kind}_preimage', 0)} preimages) — "
+                    "publish the feed with feed_preimages=True to "
+                    "maintain aggregates incrementally"
+                )
+
+    def refresh(
+        self, feed: DataFrame, batch_ids: list[str], guard: bool = True
+    ) -> dict:
+        """Fold the given feed rows (exactly the batches named in
+        ``batch_ids``) into the stored aggregate. Idempotent: batch ids
+        already applied make the whole call a no-op (all-or-nothing —
+        callers pass whole unapplied batches, as :meth:`advance` does).
+        """
+        self._recover()
+        applied = self.applied()
+        todo = [b for b in batch_ids if b not in applied]
+        if not todo:
+            return {"applied": 0, "reused": True}
+        if len(todo) != len(batch_ids):
+            raise ValueError(
+                "refresh() is all-or-nothing per call: "
+                f"{sorted(set(batch_ids) - set(todo))} already applied — "
+                "pass only unapplied batches (advance() does this)"
+            )
+        if guard:
+            self._guard_preimages(feed)
+        delta = self._contributions(feed)
+        if self.exists():
+            merged = (
+                self.read()
+                .unionByName(delta)
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(s).alias(s) for s in self.sums],
+                )
+            )
+        else:
+            merged = delta
+        # groups whose last live row retired cancel to n=0 — drop them
+        # (their sums are 0 by the same cancellation)
+        merged = merged.filter(F.col("n") > 0)
+        staging = f"{self.agg_dir}.staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "applied": sorted(applied | set(todo)),
+                    "spec": {"group_cols": self.group_cols, "sums": self.sums},
+                },
+                f,
+            )
+        self._swap_in(staging)
+        return {"applied": len(todo), "batch_ids": todo}
+
+    def _swap_in(self, staging: str) -> None:
+        """store.py's rename-aside idiom: never a window with neither
+        dir, trash removed last; ``_recover`` heals the mid-swap crash."""
+        trash = f"{self.agg_dir}.old"
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
+        if os.path.isdir(self.agg_dir):
+            os.replace(self.agg_dir, trash)
+        os.replace(staging, self.agg_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+
+    def advance(self, engine) -> dict:
+        """Catch up with every published-but-unapplied feed batch of
+        ``engine`` in ONE job. Order-free: signed sums commute, so the
+        union of unapplied batch dirs folds in a single pass — no
+        per-batch loop, no replay ordering dependency."""
+        if not engine.changes_dir:
+            raise ValueError("engine has no changes_dir (no feed to tail)")
+        dirs = (
+            {
+                d.split("=", 1)[1]: os.path.join(engine.changes_dir, d)
+                for d in os.listdir(engine.changes_dir)
+                if d.startswith("batch=") and not d.endswith(".staging")
+            }
+            if os.path.isdir(engine.changes_dir)
+            else {}
+        )
+        todo = sorted(set(dirs) - self.applied())
+        if not todo:
+            return {"applied": 0}
+        feed = (
+            self.spark.read.option("basePath", engine.changes_dir)
+            # add-column evolution mid-history: older dirs NULL-fill
+            .option("mergeSchema", "true")
+            .parquet(*[dirs[b] for b in todo])
+        )
+        return self.refresh(feed, todo)
+
+    def verify_against_state(self, engine, content_ok: bool = True) -> dict:
+        """Differential vs a from-scratch aggregate of the CURRENT
+        state — the O(state) recompute this operator exists to avoid,
+        kept as an audit (aggregate tables are O(groups), so the
+        compare collects both sides sorted)."""
+        full = self._contributions(
+            engine.final_state().withColumn("change_type", F.lit("insert"))
+        )
+        cols = [*self.group_cols, "n", *self.sums]
+        a = [tuple(r) for r in self.read().select(*cols).sort(*cols).collect()]
+        b = [tuple(r) for r in full.select(*cols).sort(*cols).collect()]
+        return {"ok": a == b, "groups": len(b)}

@@ -97,11 +97,19 @@ class StateTable(BucketedParquetStore):
         lsn_col: str = "lsn",
         op_col: str = "op",
         commit_protocol: str = "rename",
+        feed_preimages: bool = False,
     ) -> None:
         self.keys = keys or CODE_KEY
         self.content_col = content_col
         self.lsn_col = lsn_col
         self.op_col = op_col
+        #: opt-in: the change feed also publishes the OLD row for every
+        #: update/delete (``update_preimage`` / ``delete_preimage`` rows
+        #: — Delta CDF's preimage analog), so a downstream incremental
+        #: aggregate can subtract retired contributions without ever
+        #: reading this table. Costs a full-column (not keys+lsn-pruned)
+        #: read of the touched buckets per feed batch — default off.
+        self.feed_preimages = feed_preimages
         super().__init__(
             spark,
             path,
@@ -232,7 +240,10 @@ class StateTable(BucketedParquetStore):
         (the Delta Change-Data-Feed / Iceberg changelog-read analog):
         the batch's net row-level changes vs the CURRENT state —
         ``change_type ∈ {insert, update, delete}`` with the replaced
-        row's LSN as ``prev_<lsn>`` — are published atomically to that
+        row's LSN as ``prev_<lsn>``, plus ``update_preimage`` /
+        ``delete_preimage`` rows carrying the replaced row itself when
+        the table was built with ``feed_preimages=True`` — are
+        published atomically to that
         directory BEFORE the state mutates, so a downstream pipeline
         can consume this table as a changelog of its own. The dir must
         be unique per batch (the engine uses ``batch=<batch_id>``);
@@ -409,6 +420,46 @@ class StateTable(BucketedParquetStore):
             .filter(F.col("change_type").isNotNull())
             .select(*self.keys, "change_type", *data_cols, prev_col)
         )
+        if self.feed_preimages and pre is not None:
+            # Delta-CDF-style preimages: for every update/delete also
+            # publish the row being REPLACED (its own lsn, prev NULL) as
+            # change_type update_preimage / delete_preimage. An
+            # incremental downstream aggregate subtracts these instead
+            # of reading the state table. Fold-transparent for LWW
+            # consumers (a preimage always carries a strictly older —
+            # or, on the lsn-tie delete, an outranked — lsn than the
+            # row that replaced it), but state_as_of / the streaming
+            # source still filter them explicitly. Price: the old rows
+            # come from a full-column fold of the touched buckets
+            # (read_buckets), not the keys+lsn-pruned _pre_image scan —
+            # exactly the cost Delta CDF pays on MERGE, and why the
+            # flag defaults off.
+            replaced = (
+                joined.withColumn("change_type", change_type)
+                .filter(F.col("change_type").isin("update", "delete"))
+                .select(*self.keys, "change_type")
+            )
+            old = self.read_buckets(touched)
+            # add-column evolution: the pre-mutation state lacks columns
+            # this batch introduces — NULL-fill them (the state table's
+            # own evolution contract) so the preimage rows union cleanly
+            wtypes = dict(winners.dtypes)
+            for c in data_cols:
+                if c not in old.columns:
+                    old = old.withColumn(c, F.lit(None).cast(wtypes[c]))
+            pre_rows = (
+                old.join(replaced, self.keys, "inner")
+                .withColumn(
+                    "change_type",
+                    F.concat(F.col("change_type"), F.lit("_preimage")),
+                )
+                .withColumn(
+                    prev_col,
+                    F.lit(None).cast(dict(winners.dtypes)[lsn_col]),
+                )
+                .select(*self.keys, "change_type", *data_cols, prev_col)
+            )
+            feed = feed.unionByName(pre_rows)
 
         from pyspark.sql import Observation
 

@@ -39,6 +39,7 @@ class StreamingCdcPipeline:
         schema=None,
         minhash_index=None,
         changes_dir: str | None = None,
+        feed_preimages: bool = False,
         source_is_feed: bool = False,
     ) -> None:
         self.spark = spark
@@ -72,6 +73,7 @@ class StreamingCdcPipeline:
             # publish-then-reuse contract absorbs foreachBatch
             # redelivery exactly like manifest-driven batch re-applies.
             changes_dir=changes_dir,
+            feed_preimages=feed_preimages,
         )
         self.state = self.engine.state
         self.manifest = self.engine.manifest
@@ -194,12 +196,19 @@ def change_feed_stream(
     )
     if not as_changelog:
         return stream
-    return stream.withColumn(
-        "op",
-        F.when(F.col("change_type") == "delete", "delete").otherwise(
-            "upsert"
-        ),
-    ).drop("change_type", "prev_lsn")
+    return (
+        # preimage rows (upstream feed_preimages=True) restate replaced
+        # rows at their old lsn — LWW-transparent downstream, but not
+        # changelog events; drop them from the changelog view
+        stream.filter(~F.col("change_type").endswith("_preimage"))
+        .withColumn(
+            "op",
+            F.when(F.col("change_type") == "delete", "delete").otherwise(
+                "upsert"
+            ),
+        )
+        .drop("change_type", "prev_lsn")
+    )
 
 
 def streaming_dedup_events(
