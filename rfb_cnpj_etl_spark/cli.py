@@ -296,6 +296,34 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_aggregate(args) -> int:
+    """Advance an incrementally-maintained GROUP BY from the change
+    feed (requires the feed to be published with --feed-preimages)."""
+    from .operators.ivm import IncrementalAggregate
+
+    eng = _engine(args)
+    sums = {}
+    for spec in args.sum or []:
+        name, _, expr = spec.partition("=")
+        if not expr:
+            print(f"--sum expects NAME=EXPR, got {spec!r}", file=sys.stderr)
+            return 2
+        sums[name] = expr
+    agg = IncrementalAggregate(
+        eng.spark, args.ivm_path, args.group.split(","), sums
+    )
+    res = agg.advance(eng)
+    report = {
+        "ivm_path": args.ivm_path,
+        "applied": res["applied"],
+        "groups": agg.read().count() if agg.exists() else 0,
+    }
+    if args.verify:
+        report["matches_full_recompute"] = agg.verify_against_state(eng)["ok"]
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rfb_cnpj_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -491,6 +519,29 @@ def main(argv: list[str] | None = None) -> int:
         help="report recommendations only; rewrite nothing",
     )
     sp.set_defaults(fn=cmd_maintain)
+
+    sp = sub.add_parser(
+        "aggregate",
+        help="incrementally maintain a GROUP BY from the change feed "
+        "(publish it with replay --feed-preimages)",
+    )
+    common(sp)
+    sp.add_argument("--changes-dir", required=True)
+    sp.add_argument("--ivm-path", required=True)
+    sp.add_argument(
+        "--group", required=True,
+        help="comma-separated group columns, e.g. repo,lang",
+    )
+    sp.add_argument(
+        "--sum", action="append", default=[], metavar="NAME=EXPR",
+        help="sum measure over a feed row, e.g. "
+        "content_chars=length(content); repeatable",
+    )
+    sp.add_argument(
+        "--verify", action="store_true",
+        help="also run the O(state) full-recompute differential",
+    )
+    sp.set_defaults(fn=cmd_aggregate)
 
     sp = sub.add_parser("gen", help="seeded synthetic changelog generator")
     sp.add_argument("--log", required=True)

@@ -439,24 +439,48 @@ class StateTable(BucketedParquetStore):
                 .filter(F.col("change_type").isin("update", "delete"))
                 .select(*self.keys, "change_type")
             )
-            old = self.read_buckets(touched)
+            # (key, old_lsn) of every replaced row, from the NARROW fold
+            # already computed for classification — O(batch) rows out
+            old_ids = pre.join(replaced, self.keys, "inner")
+            # fetch the full old rows by IDENTITY join (key + lsn picks
+            # exactly the surviving version) against the raw base +
+            # delta scan — a codegen hash join with the O(batch) side
+            # broadcast, NOT a full-width LWW aggregate (max_by's struct
+            # payload carries strings → SortAggregate; measured 4.6×
+            # churn-replay cost before this rewrite, scripts/
+            # bench_ab_ivm.py methodology)
+            old = self._read_base_buckets(touched) if self.exists() else None
+            delta_ids = [
+                b for b in self.delta_bucket_ids() if b in set(touched)
+            ]
+            if delta_ids:
+                dl = self._read_delta(delta_ids)
+                dl = dl.filter(F.col(self.op_col) != OP_DELETE).drop(
+                    self.op_col
+                )
+                old = dl if old is None else old.unionByName(
+                    dl, allowMissingColumns=True
+                )
+            wtypes = dict(winners.dtypes)
             # add-column evolution: the pre-mutation state lacks columns
             # this batch introduces — NULL-fill them (the state table's
             # own evolution contract) so the preimage rows union cleanly
-            wtypes = dict(winners.dtypes)
             for c in data_cols:
                 if c not in old.columns:
                     old = old.withColumn(c, F.lit(None).cast(wtypes[c]))
             pre_rows = (
-                old.join(replaced, self.keys, "inner")
+                # no broadcast hint: old_ids is O(replaced-in-batch) —
+                # AQE broadcasts it at churn sizes, and a huge update
+                # batch must be allowed to shuffle instead
+                old.join(old_ids, [*self.keys, lsn_col], "inner")
+                # a crash-window delta re-append can hold the same
+                # (key, lsn) row twice — identical rows, keep one
+                .dropDuplicates(self.keys)
                 .withColumn(
                     "change_type",
                     F.concat(F.col("change_type"), F.lit("_preimage")),
                 )
-                .withColumn(
-                    prev_col,
-                    F.lit(None).cast(dict(winners.dtypes)[lsn_col]),
-                )
+                .withColumn(prev_col, F.lit(None).cast(wtypes[lsn_col]))
                 .select(*self.keys, "change_type", *data_cols, prev_col)
             )
             feed = feed.unionByName(pre_rows)

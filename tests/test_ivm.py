@@ -287,6 +287,38 @@ class TestIncrementalAggregate:
         }
         assert got == want
 
+    def test_cli_aggregate_verb(self, spark, tmp_path, capsys):
+        from rfb_cnpj_etl_spark import cli
+
+        state, man, changes, ivm = paths(tmp_path)
+        logdir = str(tmp_path / "log")
+        synthesize_changelog(spark, 600, n_repos=3, n_paths=15).write.parquet(
+            logdir
+        )
+        assert cli.main(
+            ["replay", "--state", state, "--manifest", man, "--log", logdir,
+             "--changes-dir", changes, "--feed-preimages",
+             "--batch-size", "200"]
+        ) == 0
+        capsys.readouterr()
+        assert cli.main(
+            ["aggregate", "--state", state, "--manifest", man,
+             "--changes-dir", changes, "--ivm-path", ivm,
+             "--group", "repo", "--sum", "content_chars=length(content)",
+             "--verify"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["applied"] == 3 and out["groups"] == 3
+        assert out["matches_full_recompute"] is True
+        # second run: nothing new
+        assert cli.main(
+            ["aggregate", "--state", state, "--manifest", man,
+             "--changes-dir", changes, "--ivm-path", ivm,
+             "--group", "repo", "--sum", "content_chars=length(content)"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["applied"] == 0
+
     def test_evolved_measure_null_fills(self, spark, tmp_path):
         """A sum over a column added mid-history: old feed dirs NULL-fill
         (sum skips NULLs), so the aggregate still matches recompute."""
