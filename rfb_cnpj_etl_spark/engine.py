@@ -327,6 +327,7 @@ class CdcEngine:
         index_threshold: float = 0.5,
         index_max_fanout: int | None = None,
         maintenance: MaintenancePolicy | None = None,
+        aggregates: list | None = None,
     ) -> list[dict]:
         """Resumable replay: equal-width LSN windows above the manifest
         high watermark. Returns the committed manifest entries.
@@ -335,7 +336,14 @@ class CdcEngine:
         into the ingest loop: each micro-batch updates the index and its
         manifest entry reports the pairs that batch made detectable.
         ``maintenance`` runs the post-replay health check / compaction
-        policy (the reference's automatic lifecycle steps 7–8)."""
+        policy (the reference's automatic lifecycle steps 7–8).
+
+        ``aggregates`` (ivm.IncrementalAggregate list) are advanced
+        after every committed batch — downstream materialized views
+        stay fresh inside the ingest loop, and they are guaranteed to
+        run BEFORE any ``maintenance`` feed retention (an aggregate
+        can never lose an unapplied feed dir to the same replay's
+        prune)."""
         watermark = self.manifest.high_watermark()
         pending = changelog.filter(F.col(lsn_col) > watermark)
         # Micro-batch windows are aligned on absolute LSN
@@ -423,6 +431,8 @@ class CdcEngine:
                     batch_rows=rows,
                 )
             )
+            for agg in aggregates or []:
+                agg.advance(self)
 
         # The iterator yields (window, bucket) rows in global (__w, __b)
         # order — from the bounded driver-side sort, or streamed one
@@ -448,6 +458,10 @@ class CdcEngine:
             cur_rows += int(r["__n"])
         if cur_w is not None:
             flush(cur_w, cur_buckets, cur_lo, cur_hi, cur_rows)
+        # catch up aggregates even when no window flushed this call
+        # (dirs published by an earlier, interrupted replay)
+        for agg in aggregates or []:
+            agg.advance(self)
         if maintenance is not None:
             report = self.maintain(maintenance, minhash_index=minhash_index)
             if report.get("actions"):

@@ -232,14 +232,46 @@ class IncrementalAggregate:
         os.replace(staging, self.agg_dir)
         shutil.rmtree(trash, ignore_errors=True)
 
-    def advance(self, engine) -> dict:
-        """Catch up with every published-but-unapplied feed batch of
-        ``engine`` in ONE job. Order-free: signed sums commute, so the
-        union of unapplied batch dirs folds in a single pass — no
-        per-batch loop, no replay ordering dependency."""
+    def seed(self, engine) -> dict:
+        """Bootstrap (or rebuild) from a full recompute over the CURRENT
+        state — the one O(state) pass, for tables whose feed does not
+        cover their whole history (feed enabled mid-life, or retention
+        pruned batches this aggregate never applied). Marks every
+        currently-published feed batch as applied, so the next
+        :meth:`advance` continues incrementally from here."""
         if not engine.changes_dir:
             raise ValueError("engine has no changes_dir (no feed to tail)")
-        dirs = (
+        full = self._contributions(
+            engine.final_state().withColumn("change_type", F.lit("insert"))
+        )
+        # mark ONLY manifest-committed feed batches: their changes are
+        # in the state we just aggregated. A published-but-unmerged dir
+        # (feed-publish-then-crash window) is NOT in the state yet — it
+        # stays unapplied so the next advance folds it after the engine
+        # re-drives the batch.
+        seen = sorted(
+            e["batch_id"]
+            for e in engine._merge_entries()
+            if "change_rows" in e
+        )
+        staging = f"{self.agg_dir}.staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        full.filter(F.col("n") > 0).write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "applied": seen,
+                    "spec": {"group_cols": self.group_cols, "sums": self.sums},
+                },
+                f,
+            )
+        self._swap_in(staging)
+        return {"seeded": True, "batches_marked": len(seen)}
+
+    @staticmethod
+    def _feed_dirs(engine) -> dict[str, str]:
+        return (
             {
                 d.split("=", 1)[1]: os.path.join(engine.changes_dir, d)
                 for d in os.listdir(engine.changes_dir)
@@ -248,7 +280,38 @@ class IncrementalAggregate:
             if os.path.isdir(engine.changes_dir)
             else {}
         )
-        todo = sorted(set(dirs) - self.applied())
+
+    def advance(self, engine) -> dict:
+        """Catch up with every published-but-unapplied feed batch of
+        ``engine`` in ONE job. Order-free: signed sums commute, so the
+        union of unapplied batch dirs folds in a single pass — no
+        per-batch loop, no replay ordering dependency.
+
+        Fails loud on a coverage gap: a batch the manifest committed
+        with a feed (``change_rows``) whose dir is gone (feed
+        retention pruned it) and that was never applied here can NOT
+        be reconstructed — refresh would silently diverge. Recover
+        with :meth:`seed` (one O(state) rebuild), then keep retention
+        behind the aggregate (advance before ``maintain`` prunes)."""
+        if not engine.changes_dir:
+            raise ValueError("engine has no changes_dir (no feed to tail)")
+        dirs = self._feed_dirs(engine)
+        applied = self.applied()
+        gone = [
+            e["batch_id"]
+            for e in engine._merge_entries()
+            if "change_rows" in e
+            and e["batch_id"] not in applied
+            and e["batch_id"] not in dirs
+        ]
+        if gone:
+            raise ValueError(
+                f"feed dirs for {len(gone)} committed batches (first: "
+                f"{gone[0]!r}) were pruned before this aggregate applied "
+                "them — the refresh would silently diverge; rebuild with "
+                "seed() and advance aggregates before feed retention runs"
+            )
+        todo = sorted(set(dirs) - applied)
         if not todo:
             return {"applied": 0}
         feed = (

@@ -319,6 +319,65 @@ class TestIncrementalAggregate:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["applied"] == 0
 
+    def test_pruned_unapplied_dir_fails_loud(self, spark, tmp_path):
+        """Feed retention removing a dir the aggregate never applied
+        must raise, not silently diverge."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        log = synthesize_changelog(spark, 900, n_repos=4, n_paths=20).cache()
+        entries = eng.replay(log, batch_size=300)
+        agg.advance(eng)
+        eng.replay(
+            log_df(spark, [row("r", "late", "x", 950)]), batch_size=300
+        )
+        # prune the just-published dir before the aggregate saw it
+        last = [e for e in eng.manifest.entries() if "change_rows" in e][-1]
+        shutil.rmtree(
+            os.path.join(str(tmp_path / "changes"), f"batch={last['batch_id']}")
+        )
+        with pytest.raises(ValueError, match="pruned"):
+            agg.advance(eng)
+        # seed() is the documented recovery: full rebuild, then green
+        agg.seed(eng)
+        assert agg.verify_against_state(eng)["ok"]
+        assert agg.advance(eng) == {"applied": 0}
+        assert entries  # engine really committed batches
+
+    def test_seed_bootstraps_mid_life_feed(self, spark, tmp_path):
+        """A table whose early history predates changes_dir: advance
+        alone cannot reconstruct it; seed() + advance can."""
+        state, man, changes, ivm = paths(tmp_path)
+        pre = CdcEngine(spark, state, man, normalize=None)  # no feed yet
+        log = synthesize_changelog(spark, 1200, n_repos=4, n_paths=25).cache()
+        pre.replay(log.filter(F.col("lsn") < 600), batch_size=300)
+        eng = CdcEngine(
+            spark, state, man, normalize=None, changes_dir=changes,
+            feed_preimages=True,
+        )
+        agg = IncrementalAggregate(spark, ivm, ["repo"], self.SUMS)
+        agg.seed(eng)  # captures the pre-feed history
+        assert agg.verify_against_state(eng)["ok"]
+        eng.replay(log, batch_size=300)  # feed-published tail
+        agg.advance(eng)
+        assert agg.verify_against_state(eng)["ok"]
+
+    def test_replay_advances_registered_aggregates(self, spark, tmp_path):
+        """aggregates=[...] rides the ingest loop: fresh after every
+        window, and ordered before maintenance retention."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        log = synthesize_changelog(spark, 1000, n_repos=4, n_paths=20).cache()
+        eng.replay(log, batch_size=250, aggregates=[agg])
+        assert len(agg.applied()) == 4
+        assert agg.verify_against_state(eng)["ok"]
+        # idempotent second replay: no new batches, no divergence
+        eng.replay(log, batch_size=250, aggregates=[agg])
+        assert agg.verify_against_state(eng)["ok"]
+
     def test_evolved_measure_null_fills(self, spark, tmp_path):
         """A sum over a column added mid-history: old feed dirs NULL-fill
         (sum skips NULLs), so the aggregate still matches recompute."""
