@@ -309,9 +309,12 @@ def cmd_aggregate(args) -> int:
             print(f"--sum expects NAME=EXPR, got {spec!r}", file=sys.stderr)
             return 2
         sums[name] = expr
-    agg = IncrementalAggregate(
-        eng.spark, args.ivm_path, args.group.split(","), sums
-    )
+    group_cols = [c.strip() for c in args.group.split(",") if c.strip()]
+    if not group_cols:
+        print(f"--group expects column names, got {args.group!r}",
+              file=sys.stderr)
+        return 2
+    agg = IncrementalAggregate(eng.spark, args.ivm_path, group_cols, sums)
     res = agg.advance(eng)
     report = {
         "ivm_path": args.ivm_path,
@@ -319,7 +322,9 @@ def cmd_aggregate(args) -> int:
         "groups": agg.read().count() if agg.exists() else 0,
     }
     if args.verify:
-        report["matches_full_recompute"] = agg.verify_against_state(eng)["ok"]
+        report["matches_full_recompute"] = (
+            agg.verify_against_state(eng)["ok"] if agg.exists() else None
+        )
     print(json.dumps(report))
     return 0
 

@@ -458,10 +458,12 @@ class CdcEngine:
             cur_rows += int(r["__n"])
         if cur_w is not None:
             flush(cur_w, cur_buckets, cur_lo, cur_hi, cur_rows)
-        # catch up aggregates even when no window flushed this call
-        # (dirs published by an earlier, interrupted replay)
-        for agg in aggregates or []:
-            agg.advance(self)
+        # catch up aggregates when no window flushed this call (batches
+        # committed by an earlier, interrupted replay); if any window
+        # flushed, its own per-batch advance already caught up
+        if not entries:
+            for agg in aggregates or []:
+                agg.advance(self)
         if maintenance is not None:
             report = self.maintain(maintenance, minhash_index=minhash_index)
             if report.get("actions"):

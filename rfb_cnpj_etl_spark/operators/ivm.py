@@ -27,19 +27,25 @@ plus user sums (avg = sum/n at read time). Measures are cast to
 no float drift under unbounded churn (use scaled integers for
 fixed-point measures).
 
-Scale contract: one refresh reads O(unapplied churn) feed rows, folds
-them into an aggregate keyed by the group columns (O(groups) rows,
-map-side partial agg → one shuffle on the group key), and swaps the
-stored table atomically. Exactly-once mirrors the engine's manifest:
-the applied-batch set travels INSIDE the swapped directory, so a crash
-between write and swap re-applies idempotently and a redelivered batch
-is a no-op.
+Scale contract: one refresh reads O(unapplied churn) feed rows ONCE
+(the preimage-pairing guard rides the same job as observed metrics),
+folds them into an aggregate keyed by the group columns (O(groups)
+rows, map-side partial agg → one shuffle on the group key), and swaps
+the stored table atomically. Exactly-once mirrors the engine's
+manifest: the applied-batch record travels INSIDE the swapped
+directory, so a crash between write and swap re-applies idempotently
+and a redelivered batch is a no-op. The record is bounded the same way
+the manifest's is (``plans/checkpoint.py`` id folding): LSN-window and
+stream-epoch ids — committed in increasing order by a single writer —
+fold losslessly into two watermark summaries; only ids of neither
+shape stay exact.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +58,12 @@ _SIGNS = {
     "update_preimage": -1,
     "delete_preimage": -1,
 }
+
+#: batch-id shapes that fold into watermarks (mirrors
+#: plans/checkpoint.py's manifest id folding — same single-writer
+#: in-order commit argument makes the fold lossless).
+_LSN_ID = re.compile(r"^lsn_(-?\d+)_(-?\d+)$")
+_EPOCH_ID = re.compile(r"^stream_epoch_(\d+)$")
 
 
 class IncrementalAggregate:
@@ -118,9 +130,43 @@ class IncrementalAggregate:
     def exists(self) -> bool:
         return self._meta() is not None
 
-    def applied(self) -> set[str]:
+    def is_applied(self, batch_id: str) -> bool:
         m = self._meta()
-        return set(m["applied"]) if m else set()
+        if not m:
+            return False
+        if batch_id in m.get("applied", []):
+            return True
+        mt = _LSN_ID.match(batch_id)
+        if mt and int(mt.group(2)) <= m.get("applied_lsn_hw", -(2**62)):
+            return True
+        mt = _EPOCH_ID.match(batch_id)
+        return bool(mt) and int(mt.group(1)) <= m.get("applied_epoch_hw", -1)
+
+    @staticmethod
+    def _fold_applied(meta: dict | None, new_ids: list[str]) -> dict:
+        """Bounded applied-record: LSN-window / stream-epoch ids fold
+        into watermarks (in-order single-writer commits — any such id at
+        or below the watermark was applied); other shapes stay exact."""
+        meta = meta or {}
+        tail = set(meta.get("applied", [])) | set(new_ids)
+        lsn_hw = meta.get("applied_lsn_hw", -(2**62))
+        epoch_hw = meta.get("applied_epoch_hw", -1)
+        keep = []
+        for bid in tail:
+            m = _LSN_ID.match(bid)
+            if m:
+                lsn_hw = max(lsn_hw, int(m.group(2)))
+                continue
+            m = _EPOCH_ID.match(bid)
+            if m:
+                epoch_hw = max(epoch_hw, int(m.group(1)))
+                continue
+            keep.append(bid)
+        return {
+            "applied": sorted(keep),
+            "applied_lsn_hw": lsn_hw,
+            "applied_epoch_hw": epoch_hw,
+        }
 
     def read(self) -> DataFrame:
         """The maintained aggregate: ``group_cols + n + <sums>``."""
@@ -143,22 +189,24 @@ class IncrementalAggregate:
         aggs = [F.sum("__sign").cast("long").alias("n")]
         for name, expr in self.sums.items():
             aggs.append(
-                F.sum(F.expr(expr).cast("long") * F.col("__sign")).alias(name)
+                # NULL measures count as 0 — SQL SUM would yield NULL
+                # for an all-NULL group on a recompute while signed
+                # cancellation yields 0; coalescing pins ONE semantic
+                # for both (and for evolution-NULL-filled old rows)
+                F.sum(
+                    F.coalesce(F.expr(expr).cast("long"), F.lit(0))
+                    * F.col("__sign")
+                ).alias(name)
             )
         return c.groupBy(*self.group_cols).agg(*aggs)
 
-    def _guard_preimages(self, feed: DataFrame) -> None:
+    @staticmethod
+    def _check_preimage_counts(counts: dict) -> None:
         """Fail loud if the feed lacks preimage rows — refreshing from a
         preimage-less feed would silently double-count every update.
         Invariant of ``StateTable._emit_changes(feed_preimages=True)``:
         each update/delete row has exactly one preimage twin, so the
         per-kind totals must match over any whole set of batches."""
-        counts = {
-            r["change_type"]: r["cnt"]
-            for r in feed.groupBy("change_type")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
         for kind in ("update", "delete"):
             if counts.get(kind, 0) != counts.get(f"{kind}_preimage", 0):
                 raise ValueError(
@@ -176,10 +224,14 @@ class IncrementalAggregate:
         ``batch_ids``) into the stored aggregate. Idempotent: batch ids
         already applied make the whole call a no-op (all-or-nothing —
         callers pass whole unapplied batches, as :meth:`advance` does).
+
+        The preimage-pairing guard rides the SAME job as the fold
+        (observed metrics on the feed scan — zero extra passes); a
+        violation discards the staged result before the swap, so a
+        guarded refresh never commits from a preimage-less feed.
         """
         self._recover()
-        applied = self.applied()
-        todo = [b for b in batch_ids if b not in applied]
+        todo = [b for b in batch_ids if not self.is_applied(b)]
         if not todo:
             return {"applied": 0, "reused": True}
         if len(todo) != len(batch_ids):
@@ -188,8 +240,21 @@ class IncrementalAggregate:
                 f"{sorted(set(batch_ids) - set(todo))} already applied — "
                 "pass only unapplied batches (advance() does this)"
             )
+        obs = None
         if guard:
-            self._guard_preimages(feed)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            kinds = ("update", "update_preimage", "delete", "delete_preimage")
+            feed = feed.observe(
+                obs,
+                *[
+                    F.count(
+                        F.when(F.col("change_type") == k, 1)
+                    ).alias(k)
+                    for k in kinds
+                ],
+            )
         delta = self._contributions(feed)
         if self.exists():
             merged = (
@@ -210,10 +275,25 @@ class IncrementalAggregate:
         if os.path.isdir(staging):
             shutil.rmtree(staging)
         merged.write.mode("overwrite").parquet(staging)
+        if obs is not None:
+            try:
+                counts = dict(obs.get)
+            except Exception:  # noqa: BLE001 — AQE may prune the node
+                counts = {
+                    r["change_type"]: r["cnt"]
+                    for r in feed.groupBy("change_type")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+            try:
+                self._check_preimage_counts(counts)
+            except ValueError:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
         with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
             json.dump(
                 {
-                    "applied": sorted(applied | set(todo)),
+                    **self._fold_applied(self._meta(), todo),
                     "spec": {"group_cols": self.group_cols, "sums": self.sums},
                 },
                 f,
@@ -237,7 +317,7 @@ class IncrementalAggregate:
         state — the one O(state) pass, for tables whose feed does not
         cover their whole history (feed enabled mid-life, or retention
         pruned batches this aggregate never applied). Marks every
-        currently-published feed batch as applied, so the next
+        manifest-committed feed batch as applied, so the next
         :meth:`advance` continues incrementally from here."""
         if not engine.changes_dir:
             raise ValueError("engine has no changes_dir (no feed to tail)")
@@ -261,7 +341,7 @@ class IncrementalAggregate:
         with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
             json.dump(
                 {
-                    "applied": seen,
+                    **self._fold_applied(None, seen),
                     "spec": {"group_cols": self.group_cols, "sums": self.sums},
                 },
                 f,
@@ -282,10 +362,14 @@ class IncrementalAggregate:
         )
 
     def advance(self, engine) -> dict:
-        """Catch up with every published-but-unapplied feed batch of
-        ``engine`` in ONE job. Order-free: signed sums commute, so the
-        union of unapplied batch dirs folds in a single pass — no
+        """Catch up with every manifest-COMMITTED, unapplied feed batch
+        of ``engine`` in ONE job. Order-free: signed sums commute, so
+        the union of unapplied batch dirs folds in a single pass — no
         per-batch loop, no replay ordering dependency.
+
+        Only committed batches fold: a published-but-unmerged dir (the
+        feed-publish-then-crash window) is not in the state yet, so it
+        waits until the engine re-drives and commits its batch.
 
         Fails loud on a coverage gap: a batch the manifest committed
         with a feed (``change_rows``) whose dir is gone (feed
@@ -296,14 +380,13 @@ class IncrementalAggregate:
         if not engine.changes_dir:
             raise ValueError("engine has no changes_dir (no feed to tail)")
         dirs = self._feed_dirs(engine)
-        applied = self.applied()
-        gone = [
+        committed = [
             e["batch_id"]
             for e in engine._merge_entries()
             if "change_rows" in e
-            and e["batch_id"] not in applied
-            and e["batch_id"] not in dirs
         ]
+        pending = [b for b in committed if not self.is_applied(b)]
+        gone = [b for b in pending if b not in dirs]
         if gone:
             raise ValueError(
                 f"feed dirs for {len(gone)} committed batches (first: "
@@ -311,7 +394,7 @@ class IncrementalAggregate:
                 "them — the refresh would silently diverge; rebuild with "
                 "seed() and advance aggregates before feed retention runs"
             )
-        todo = sorted(set(dirs) - applied)
+        todo = sorted(pending)
         if not todo:
             return {"applied": 0}
         feed = (

@@ -468,6 +468,19 @@ class StateTable(BucketedParquetStore):
             for c in data_cols:
                 if c not in old.columns:
                     old = old.withColumn(c, F.lit(None).cast(wtypes[c]))
+            # ...and the REVERSE: state columns this batch omits (MERGE
+            # NULL-fills them in the winner) must still ride the
+            # preimage rows with their OLD values — dropping them would
+            # make a downstream incremental aggregate subtract 0 for a
+            # retired non-NULL contribution (silent divergence). The
+            # postimage rows carry NULL there, which is exactly the
+            # merged new row's value.
+            skip = {*self.keys, op_col, "bucket", "content_sha256", prev_col}
+            pre_data_cols = data_cols + [
+                c
+                for c in old.columns
+                if c not in skip and c not in data_cols
+            ]
             pre_rows = (
                 # no broadcast hint: old_ids is O(replaced-in-batch) —
                 # AQE broadcasts it at churn sizes, and a huge update
@@ -481,9 +494,9 @@ class StateTable(BucketedParquetStore):
                     F.concat(F.col("change_type"), F.lit("_preimage")),
                 )
                 .withColumn(prev_col, F.lit(None).cast(wtypes[lsn_col]))
-                .select(*self.keys, "change_type", *data_cols, prev_col)
+                .select(*self.keys, "change_type", *pre_data_cols, prev_col)
             )
-            feed = feed.unionByName(pre_rows)
+            feed = feed.unionByName(pre_rows, allowMissingColumns=True)
 
         from pyspark.sql import Observation
 

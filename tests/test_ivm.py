@@ -371,12 +371,76 @@ class TestIncrementalAggregate:
             spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
         )
         log = synthesize_changelog(spark, 1000, n_repos=4, n_paths=20).cache()
-        eng.replay(log, batch_size=250, aggregates=[agg])
-        assert len(agg.applied()) == 4
+        entries = eng.replay(log, batch_size=250, aggregates=[agg])
+        assert len(entries) == 4
+        assert all(agg.is_applied(e["batch_id"]) for e in entries)
         assert agg.verify_against_state(eng)["ok"]
         # idempotent second replay: no new batches, no divergence
         eng.replay(log, batch_size=250, aggregates=[agg])
         assert agg.verify_against_state(eng)["ok"]
+
+    def test_batch_missing_column_preimage_keeps_old_value(
+        self, spark, tmp_path
+    ):
+        """A later batch that OMITS a known column NULL-fills it in the
+        state (LWW replaces whole rows) — the preimage row must still
+        carry the retired non-NULL value or the aggregate silently
+        keeps the stale contribution."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"],
+            {"branch_chars": "length(branch)"},
+        )
+        evolved = spark.createDataFrame(
+            [("r", "a", "c0", "python", "v1", 0, "upsert", "main")],
+            LOG_SCHEMA + ", branch string",
+        )
+        eng.replay(evolved, batch_size=5)
+        agg.advance(eng)
+        assert agg.read().collect()[0]["branch_chars"] == 4
+        # update WITHOUT the branch column: state NULL-fills it
+        eng.replay(log_df(spark, [row("r", "a", "v2", 9)]), batch_size=5)
+        agg.advance(eng)
+        got = agg.read().collect()[0]
+        assert got["branch_chars"] == 0  # -4 preimage cancelled the +4
+        assert agg.verify_against_state(eng)["ok"]
+
+    def test_advance_ignores_uncommitted_feed_dir(self, spark, tmp_path):
+        """A published-but-unmerged dir (feed-publish-then-crash) is
+        not in the state yet — advance must skip it until the manifest
+        commits the batch."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        eng.replay(log_df(spark, [row("r", "a", "v1", 0)]), batch_size=5)
+        # forge the crash window: a fully-published feed dir whose
+        # batch never reached the manifest
+        real = os.path.join(
+            str(tmp_path / "changes"),
+            os.listdir(str(tmp_path / "changes"))[0],
+        )
+        shutil.copytree(real, os.path.join(
+            str(tmp_path / "changes"), "batch=lsn_900_999"))
+        agg.advance(eng)
+        assert not agg.is_applied("lsn_900_999")
+        assert agg.verify_against_state(eng)["ok"]
+
+    def test_applied_record_stays_bounded(self, spark, tmp_path):
+        """LSN-window ids fold into a watermark — the meta's explicit
+        list must not grow with replay history."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        log = synthesize_changelog(spark, 800, n_repos=3, n_paths=15).cache()
+        entries = eng.replay(log, batch_size=100, aggregates=[agg])
+        assert len(entries) == 8
+        meta = agg._meta()
+        assert meta["applied"] == []  # all folded
+        assert meta["applied_lsn_hw"] == 799
+        assert all(agg.is_applied(e["batch_id"]) for e in entries)
+        assert not agg.is_applied("lsn_800_899")
 
     def test_evolved_measure_null_fills(self, spark, tmp_path):
         """A sum over a column added mid-history: old feed dirs NULL-fill
