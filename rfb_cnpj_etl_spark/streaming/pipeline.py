@@ -40,6 +40,7 @@ class StreamingCdcPipeline:
         minhash_index=None,
         changes_dir: str | None = None,
         feed_preimages: bool = False,
+        aggregates: list | None = None,
         source_is_feed: bool = False,
     ) -> None:
         self.spark = spark
@@ -82,6 +83,13 @@ class StreamingCdcPipeline:
         # entry carries the newly-detectable near-dup pairs (idempotent
         # across foreachBatch redelivery, same argument as batch).
         self.minhash_index = minhash_index
+        #: ivm.IncrementalAggregate list advanced after every committed
+        #: epoch — downstream materialized views stay fresh inside the
+        #: stream, with the same exactly-once argument as the engine's
+        #: replay(aggregates=) integration (epoch ids fold into the
+        #: aggregate's stream-epoch watermark, so the record stays
+        #: bounded over stream lifetime).
+        self.aggregates = list(aggregates or [])
 
     # ------------------------------------------------------------------
 
@@ -108,6 +116,8 @@ class StreamingCdcPipeline:
             minhash_index=self.minhash_index,
             batch_rows=int(bounds["n"]),
         )
+        for agg in self.aggregates:
+            agg.advance(self.engine)
 
     def start(self, available_now: bool = True):
         """Start the stream. ``available_now=True`` drains everything

@@ -442,6 +442,36 @@ class TestIncrementalAggregate:
         assert all(agg.is_applied(e["batch_id"]) for e in entries)
         assert not agg.is_applied("lsn_800_899")
 
+    def test_streaming_epochs_advance_aggregate(self, spark, tmp_path):
+        """The streaming pipeline advances registered aggregates per
+        epoch; stream_epoch ids fold into their own watermark so the
+        applied record stays bounded over stream lifetime."""
+        from rfb_cnpj_etl_spark.streaming.pipeline import (
+            StreamingCdcPipeline,
+        )
+        from tests.test_streaming import write_log_files
+
+        log = synthesize_changelog(spark, 900, n_repos=4, n_paths=30).cache()
+        src = str(tmp_path / "src")
+        write_log_files(spark, log, src, n_files=3)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        pipe = StreamingCdcPipeline(
+            spark, src,
+            str(tmp_path / "state"), str(tmp_path / "m.jsonl"),
+            str(tmp_path / "ckpt"),
+            buckets=8, max_files_per_trigger=1,
+            changes_dir=str(tmp_path / "changes"),
+            feed_preimages=True,
+            aggregates=[agg],
+        )
+        pipe.run_until_drained()
+        assert agg.verify_against_state(pipe.engine)["ok"]
+        meta = agg._meta()
+        assert meta["applied"] == []  # epochs folded into the watermark
+        assert meta["applied_epoch_hw"] >= 0
+
     def test_evolved_measure_null_fills(self, spark, tmp_path):
         """A sum over a column added mid-history: old feed dirs NULL-fill
         (sum skips NULLs), so the aggregate still matches recompute."""
