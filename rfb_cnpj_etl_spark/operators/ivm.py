@@ -51,6 +51,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import Manifest
+
 #: change_type values that contribute to the aggregate, with sign.
 _SIGNS = {
     "insert": 1,
@@ -59,10 +61,14 @@ _SIGNS = {
     "delete_preimage": -1,
 }
 
-#: batch-id shapes that fold into watermarks (mirrors
-#: plans/checkpoint.py's manifest id folding — same single-writer
-#: in-order commit argument makes the fold lossless).
-_LSN_ID = re.compile(r"^lsn_(-?\d+)_(-?\d+)$")
+#: batch-id shapes that fold into watermarks — the LSN-window shape is
+#: THE manifest's (one definition: if the engine's id format changes,
+#: both fold rules move together); the epoch shape is the streaming
+#: pipeline's. Same single-writer in-order commit argument makes the
+#: fold lossless — but only advance()/seed() fold (they see the full
+#: committed set, so nothing can be leapfrogged); a direct refresh()
+#: keeps ids exact.
+_LSN_ID = Manifest._LSN_ID
 _EPOCH_ID = re.compile(r"^stream_epoch_(\d+)$")
 
 
@@ -130,36 +136,57 @@ class IncrementalAggregate:
     def exists(self) -> bool:
         return self._meta() is not None
 
-    def is_applied(self, batch_id: str) -> bool:
-        m = self._meta()
-        if not m:
+    @staticmethod
+    def _is_applied_in(meta: dict | None, batch_id: str) -> bool:
+        """Membership against a meta SNAPSHOT — callers checking many
+        ids read the meta once, not once per id."""
+        if not meta:
             return False
-        if batch_id in m.get("applied", []):
+        if batch_id in meta.get("applied", []):
             return True
         mt = _LSN_ID.match(batch_id)
-        if mt and int(mt.group(2)) <= m.get("applied_lsn_hw", -(2**62)):
+        if mt and int(mt.group(2)) <= meta.get("applied_lsn_hw", -(2**62)):
             return True
         mt = _EPOCH_ID.match(batch_id)
-        return bool(mt) and int(mt.group(1)) <= m.get("applied_epoch_hw", -1)
+        return bool(mt) and int(mt.group(1)) <= meta.get(
+            "applied_epoch_hw", -1
+        )
+
+    def is_applied(self, batch_id: str) -> bool:
+        return self._is_applied_in(self._meta(), batch_id)
 
     @staticmethod
-    def _fold_applied(meta: dict | None, new_ids: list[str]) -> dict:
-        """Bounded applied-record: LSN-window / stream-epoch ids fold
-        into watermarks (in-order single-writer commits — any such id at
-        or below the watermark was applied); other shapes stay exact."""
+    def _merge_applied(
+        meta: dict | None, new_ids: list[str], fold: bool
+    ) -> dict:
+        """Bounded applied-record. ``fold=True`` (advance/seed only —
+        they operate on the FULL committed set, so no lower-numbered
+        committed batch can be leapfrogged) folds LSN-window /
+        stream-epoch ids into watermarks; ``fold=False`` (a direct
+        refresh of arbitrary batches) keeps ids exact — folding there
+        would mark every earlier unapplied batch applied. Either way,
+        ids already implied by an existing watermark drop from the
+        tail."""
         meta = meta or {}
-        tail = set(meta.get("applied", [])) | set(new_ids)
         lsn_hw = meta.get("applied_lsn_hw", -(2**62))
         epoch_hw = meta.get("applied_epoch_hw", -1)
         keep = []
-        for bid in tail:
+        for bid in set(meta.get("applied", [])) | set(new_ids):
             m = _LSN_ID.match(bid)
             if m:
-                lsn_hw = max(lsn_hw, int(m.group(2)))
+                hi = int(m.group(2))
+                if fold:
+                    lsn_hw = max(lsn_hw, hi)
+                elif hi > lsn_hw:
+                    keep.append(bid)
                 continue
             m = _EPOCH_ID.match(bid)
             if m:
-                epoch_hw = max(epoch_hw, int(m.group(1)))
+                n = int(m.group(1))
+                if fold:
+                    epoch_hw = max(epoch_hw, n)
+                elif n > epoch_hw:
+                    keep.append(bid)
                 continue
             keep.append(bid)
         return {
@@ -218,7 +245,11 @@ class IncrementalAggregate:
                 )
 
     def refresh(
-        self, feed: DataFrame, batch_ids: list[str], guard: bool = True
+        self,
+        feed: DataFrame,
+        batch_ids: list[str],
+        guard: bool = True,
+        fold_ids: bool = False,
     ) -> dict:
         """Fold the given feed rows (exactly the batches named in
         ``batch_ids``) into the stored aggregate. Idempotent: batch ids
@@ -231,7 +262,8 @@ class IncrementalAggregate:
         guarded refresh never commits from a preimage-less feed.
         """
         self._recover()
-        todo = [b for b in batch_ids if not self.is_applied(b)]
+        meta = self._meta()
+        todo = [b for b in batch_ids if not self._is_applied_in(meta, b)]
         if not todo:
             return {"applied": 0, "reused": True}
         if len(todo) != len(batch_ids):
@@ -268,9 +300,16 @@ class IncrementalAggregate:
             )
         else:
             merged = delta
-        # groups whose last live row retired cancel to n=0 — drop them
-        # (their sums are 0 by the same cancellation)
-        merged = merged.filter(F.col("n") > 0)
+        # groups whose last live row retired cancel to all-zero — drop
+        # them. Zero COUNT alone is not enough: out-of-order application
+        # (a direct refresh of a newer batch before older ones) leaves
+        # transients with n=0 but nonzero sum deltas (pure update churn)
+        # or n<0 (net retirements) that MUST survive until the earlier
+        # batches fold in; once history is whole they cancel exactly.
+        nonzero = F.col("n") != 0
+        for s in self.sums:
+            nonzero = nonzero | (F.col(s) != 0)
+        merged = merged.filter(nonzero)
         staging = f"{self.agg_dir}.staging"
         if os.path.isdir(staging):
             shutil.rmtree(staging)
@@ -293,7 +332,7 @@ class IncrementalAggregate:
         with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
             json.dump(
                 {
-                    **self._fold_applied(self._meta(), todo),
+                    **self._merge_applied(meta, todo, fold_ids),
                     "spec": {"group_cols": self.group_cols, "sums": self.sums},
                 },
                 f,
@@ -341,7 +380,7 @@ class IncrementalAggregate:
         with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
             json.dump(
                 {
-                    **self._fold_applied(None, seen),
+                    **self._merge_applied(None, seen, fold=True),
                     "spec": {"group_cols": self.group_cols, "sums": self.sums},
                 },
                 f,
@@ -385,7 +424,8 @@ class IncrementalAggregate:
             for e in engine._merge_entries()
             if "change_rows" in e
         ]
-        pending = [b for b in committed if not self.is_applied(b)]
+        meta = self._meta()
+        pending = [b for b in committed if not self._is_applied_in(meta, b)]
         gone = [b for b in pending if b not in dirs]
         if gone:
             raise ValueError(
@@ -403,7 +443,7 @@ class IncrementalAggregate:
             .option("mergeSchema", "true")
             .parquet(*[dirs[b] for b in todo])
         )
-        return self.refresh(feed, todo)
+        return self.refresh(feed, todo, fold_ids=True)
 
     def verify_against_state(self, engine, content_ok: bool = True) -> dict:
         """Differential vs a from-scratch aggregate of the CURRENT

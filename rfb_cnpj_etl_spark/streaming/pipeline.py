@@ -88,8 +88,17 @@ class StreamingCdcPipeline:
         #: stream, with the same exactly-once argument as the engine's
         #: replay(aggregates=) integration (epoch ids fold into the
         #: aggregate's stream-epoch watermark, so the record stays
-        #: bounded over stream lifetime).
+        #: bounded over stream lifetime). ``start()`` also runs a
+        #: catch-up advance, covering the crash window where an epoch's
+        #: manifest commit landed but its advance never ran — the
+        #: redelivered epoch short-circuits on is_applied and would
+        #: otherwise skip the aggregates loop forever.
         self.aggregates = list(aggregates or [])
+        if self.aggregates and not changes_dir:
+            raise ValueError(
+                "aggregates need the change feed: pass changes_dir= "
+                "(and publish with feed_preimages=True)"
+            )
 
     # ------------------------------------------------------------------
 
@@ -123,6 +132,12 @@ class StreamingCdcPipeline:
         """Start the stream. ``available_now=True`` drains everything
         currently in the source and stops (test/replay mode); False
         tails the directory continuously."""
+        # crash-window catch-up: epochs committed by a previous run
+        # whose advance never completed are folded before new epochs
+        # arrive (a redelivered epoch returns early on is_applied and
+        # never reaches the per-epoch advance)
+        for agg in self.aggregates:
+            agg.advance(self.engine)
         if self.source_is_feed:
             stream = change_feed_stream(
                 self.spark,

@@ -472,6 +472,63 @@ class TestIncrementalAggregate:
         assert meta["applied"] == []  # epochs folded into the watermark
         assert meta["applied_epoch_hw"] >= 0
 
+    def test_direct_refresh_does_not_leapfrog_earlier_batches(
+        self, spark, tmp_path
+    ):
+        """refresh() of a non-oldest batch keeps its id exact instead of
+        raising the watermark — earlier committed batches must remain
+        visible as unapplied to a later advance()."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        log = synthesize_changelog(spark, 600, n_repos=3, n_paths=15).cache()
+        entries = eng.replay(log, batch_size=200)
+        assert len(entries) == 3
+        last = entries[-1]["batch_id"]
+        feed = spark.read.parquet(
+            os.path.join(str(tmp_path / "changes"), f"batch={last}")
+        )
+        agg.refresh(feed, [last])  # direct call, newest batch only
+        assert agg.is_applied(last)
+        assert not agg.is_applied(entries[0]["batch_id"])
+        agg.advance(eng)  # folds the two earlier batches
+        assert agg.verify_against_state(eng)["ok"]
+        assert agg._meta()["applied"] == []  # advance folded everything
+
+    def test_stream_restart_catches_up_missed_advance(
+        self, spark, tmp_path
+    ):
+        """Crash window: an epoch's manifest commit landed but its
+        advance never ran. On restart the redelivered epoch returns
+        early on is_applied — start()'s catch-up must fold it."""
+        from rfb_cnpj_etl_spark.streaming.pipeline import (
+            StreamingCdcPipeline,
+        )
+        from tests.test_streaming import write_log_files
+
+        log = synthesize_changelog(spark, 600, n_repos=3, n_paths=15).cache()
+        src = str(tmp_path / "src")
+        write_log_files(spark, log, src, n_files=2)
+        args = (
+            spark, src, str(tmp_path / "state"), str(tmp_path / "m.jsonl"),
+            str(tmp_path / "ckpt"),
+        )
+        kw = dict(
+            buckets=8, changes_dir=str(tmp_path / "changes"),
+            feed_preimages=True,
+        )
+        # first run WITHOUT the aggregate = every epoch's advance
+        # "crashed" after its manifest commit
+        StreamingCdcPipeline(*args, **kw).run_until_drained()
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        pipe = StreamingCdcPipeline(*args, **kw, aggregates=[agg])
+        pipe.run_until_drained()  # no new data — only the catch-up runs
+        assert agg.verify_against_state(pipe.engine)["ok"]
+        assert agg._meta()["applied_epoch_hw"] >= 0
+
     def test_evolved_measure_null_fills(self, spark, tmp_path):
         """A sum over a column added mid-history: old feed dirs NULL-fill
         (sum skips NULLs), so the aggregate still matches recompute."""
