@@ -315,10 +315,16 @@ def cmd_aggregate(args) -> int:
               file=sys.stderr)
         return 2
     agg = IncrementalAggregate(eng.spark, args.ivm_path, group_cols, sums)
+    if args.bootstrap:
+        # the documented recovery for a feed-retention gap (and the
+        # mid-life bootstrap): one O(state) rebuild, then advance picks
+        # up whatever committed after the rebuild's manifest snapshot
+        agg.seed(eng)
     res = agg.advance(eng)
     report = {
         "ivm_path": args.ivm_path,
         "applied": res["applied"],
+        "bootstrapped": bool(args.bootstrap),
         "groups": agg.read().count() if agg.exists() else 0,
     }
     if args.verify:
@@ -545,6 +551,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--verify", action="store_true",
         help="also run the O(state) full-recompute differential",
+    )
+    sp.add_argument(
+        "--bootstrap", action="store_true",
+        help="seed() from the current state first — the recovery for a "
+        "feed-retention gap and the bootstrap for a feed enabled "
+        "mid-life (one O(state) pass; advance stays O(churn) after)",
     )
     sp.set_defaults(fn=cmd_aggregate)
 

@@ -319,6 +319,42 @@ class TestIncrementalAggregate:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["applied"] == 0
 
+    def test_cli_aggregate_bootstrap_recovers_retention_gap(
+        self, spark, tmp_path, capsys
+    ):
+        """`aggregate --bootstrap` = the CLI path of the documented
+        seed() recovery: a pruned unapplied feed dir fails the plain
+        verb, the bootstrap run rebuilds from state and goes green."""
+        from rfb_cnpj_etl_spark import cli
+
+        state, man, changes, ivm = paths(tmp_path)
+        logdir = str(tmp_path / "log")
+        synthesize_changelog(spark, 600, n_repos=3, n_paths=15).write.parquet(
+            logdir
+        )
+        assert cli.main(
+            ["replay", "--state", state, "--manifest", man, "--log", logdir,
+             "--changes-dir", changes, "--feed-preimages",
+             "--batch-size", "200"]
+        ) == 0
+        # prune one committed dir before any aggregate applied it
+        batch_dirs = sorted(
+            d for d in os.listdir(changes) if d.startswith("batch=")
+        )
+        shutil.rmtree(os.path.join(changes, batch_dirs[0]))
+        argv = ["aggregate", "--state", state, "--manifest", man,
+                "--changes-dir", changes, "--ivm-path", ivm,
+                "--group", "repo", "--sum",
+                "content_chars=length(content)", "--verify"]
+        with pytest.raises(ValueError, match="pruned"):
+            cli.main(argv)
+        capsys.readouterr()
+        assert cli.main(argv + ["--bootstrap"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["bootstrapped"] is True
+        assert out["applied"] == 0  # seed marked every committed batch
+        assert out["matches_full_recompute"] is True
+
     def test_pruned_unapplied_dir_fails_loud(self, spark, tmp_path):
         """Feed retention removing a dir the aggregate never applied
         must raise, not silently diverge."""
