@@ -157,35 +157,52 @@ class IncrementalAggregate:
 
     @staticmethod
     def _merge_applied(
-        meta: dict | None, new_ids: list[str], fold: bool
+        meta: dict | None, new_ids: list[str], fold: list[str] | None
     ) -> dict:
-        """Bounded applied-record. ``fold=True`` (advance/seed only —
-        they operate on the FULL committed set, so no lower-numbered
-        committed batch can be leapfrogged) folds LSN-window /
-        stream-epoch ids into watermarks; ``fold=False`` (a direct
-        refresh of arbitrary batches) keeps ids exact — folding there
-        would mark every earlier unapplied batch applied. Either way,
-        ids already implied by an existing watermark drop from the
-        tail."""
+        """Bounded applied-record. ``fold`` is the set of batch ids
+        VERIFIED against the engine's full committed manifest (advance/
+        seed pass every committed id — after their refresh, all of them
+        are applied, so raising a watermark to the max folded hi cannot
+        mark an unapplied committed batch applied; the in-order
+        single-writer commit rule covers batches that commit later).
+        ``fold=None`` (a direct refresh of arbitrary batches) folds
+        nothing — the caller verified nothing, and an unverified
+        LSN/epoch-shaped id (a crash-window dir refreshed before its
+        manifest commit, or an out-of-band id) folded into a watermark
+        would leapfrog real committed batches below it. Ids of neither
+        watermark shape always stay exact; any id the final watermarks
+        imply drops from the tail (an applied id at or below a
+        watermark is redundant with it)."""
         meta = meta or {}
         lsn_hw = meta.get("applied_lsn_hw", -(2**62))
         epoch_hw = meta.get("applied_epoch_hw", -1)
+        applied = set(meta.get("applied", [])) | set(new_ids)
+        for bid in fold or []:
+            # fold only VERIFIED ids that are actually applied: a
+            # committed id neither recorded nor below the watermarks
+            # is not applied yet, and must not become "applied" by a
+            # sibling's fold raising the watermark past it — advance
+            # refreshes all of them in one call, so this only guards
+            # misuse of the private helper
+            if bid not in applied:
+                continue
+            m = _LSN_ID.match(bid)
+            if m:
+                lsn_hw = max(lsn_hw, int(m.group(2)))
+                continue
+            m = _EPOCH_ID.match(bid)
+            if m:
+                epoch_hw = max(epoch_hw, int(m.group(1)))
         keep = []
         for bid in set(meta.get("applied", [])) | set(new_ids):
             m = _LSN_ID.match(bid)
             if m:
-                hi = int(m.group(2))
-                if fold:
-                    lsn_hw = max(lsn_hw, hi)
-                elif hi > lsn_hw:
+                if int(m.group(2)) > lsn_hw:
                     keep.append(bid)
                 continue
             m = _EPOCH_ID.match(bid)
             if m:
-                n = int(m.group(1))
-                if fold:
-                    epoch_hw = max(epoch_hw, n)
-                elif n > epoch_hw:
+                if int(m.group(1)) > epoch_hw:
                     keep.append(bid)
                 continue
             keep.append(bid)
@@ -249,7 +266,7 @@ class IncrementalAggregate:
         feed: DataFrame,
         batch_ids: list[str],
         guard: bool = True,
-        fold_ids: bool = False,
+        fold_ids: list[str] | None = None,
     ) -> dict:
         """Fold the given feed rows (exactly the batches named in
         ``batch_ids``) into the stored aggregate. Idempotent: batch ids
@@ -260,6 +277,14 @@ class IncrementalAggregate:
         (observed metrics on the feed scan — zero extra passes); a
         violation discards the staged result before the swap, so a
         guarded refresh never commits from a preimage-less feed.
+
+        Direct calls keep their batch ids exact (``fold_ids=None`` —
+        folding an unverified id would mark earlier unapplied batches
+        applied), so a caller that ONLY ever refreshes directly grows
+        the applied record by one id per call; any later
+        :meth:`advance` re-bounds it by folding every manifest-verified
+        id into the watermarks. ``fold_ids`` is advance/seed's verified
+        committed set (see :meth:`_merge_applied`).
         """
         self._recover()
         meta = self._meta()
@@ -380,7 +405,7 @@ class IncrementalAggregate:
         with open(os.path.join(staging, self.META), "w", encoding="utf-8") as f:
             json.dump(
                 {
-                    **self._merge_applied(None, seen, fold=True),
+                    **self._merge_applied(None, seen, fold=seen),
                     "spec": {"group_cols": self.group_cols, "sums": self.sums},
                 },
                 f,
@@ -418,6 +443,12 @@ class IncrementalAggregate:
         behind the aggregate (advance before ``maintain`` prunes)."""
         if not engine.changes_dir:
             raise ValueError("engine has no changes_dir (no feed to tail)")
+        # heal a mid-swap crash BEFORE reading the meta: a missing agg
+        # dir with an intact .old would otherwise read as "nothing
+        # applied" and turn long-applied-but-retention-pruned batches
+        # into a spurious 'pruned' error (or refresh's all-or-nothing
+        # guard) on a same-instance retry
+        self._recover()
         dirs = self._feed_dirs(engine)
         committed = [
             e["batch_id"]
@@ -443,7 +474,11 @@ class IncrementalAggregate:
             .option("mergeSchema", "true")
             .parquet(*[dirs[b] for b in todo])
         )
-        return self.refresh(feed, todo, fold_ids=True)
+        # fold set = EVERY committed id (not just todo): after this
+        # refresh all of them are applied, and folding the already-
+        # applied exact ones (e.g. a batch a direct refresh applied
+        # out of order earlier) is what re-bounds the record
+        return self.refresh(feed, todo, fold_ids=committed)
 
     def verify_against_state(self, engine, content_ok: bool = True) -> dict:
         """Differential vs a from-scratch aggregate of the CURRENT

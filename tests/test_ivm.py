@@ -532,6 +532,67 @@ class TestIncrementalAggregate:
         assert agg.verify_against_state(eng)["ok"]
         assert agg._meta()["applied"] == []  # advance folded everything
 
+    def test_advance_never_folds_inherited_exact_ids(
+        self, spark, tmp_path
+    ):
+        """An out-of-band LSN-shaped id applied via direct refresh must
+        stay exact across advance() — folding it would raise the
+        watermark past engine windows that commit later below it, and
+        every one of them would be silently skipped forever."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        # zero-contribution feed (bare 'delete' rows carry no sign):
+        # only the id bookkeeping is under test
+        noop = spark.createDataFrame(
+            [("r0", "x", "delete")],
+            "repo string, content string, change_type string",
+        )
+        oob = "lsn_900000_999999"
+        agg.refresh(noop, [oob], guard=False)
+        log = synthesize_changelog(spark, 600, n_repos=3, n_paths=15).cache()
+        eng.replay(log, batch_size=200)
+        agg.advance(eng)
+        meta = agg._meta()
+        assert meta["applied"] == [oob]  # exact, not folded
+        assert meta["applied_lsn_hw"] < 900000
+        # later windows commit below the out-of-band id; they must fold
+        late = log_df(
+            spark,
+            [row("r0", f"p{i}", f"late{i}", 700 + i) for i in range(5)],
+        )
+        eng.replay(late, batch_size=200)
+        agg.advance(eng)
+        assert agg.verify_against_state(eng)["ok"]
+        assert agg._meta()["applied"] == [oob]
+
+    def test_advance_recovers_mid_swap_crash_on_same_instance(
+        self, spark, tmp_path
+    ):
+        """advance() heals a crashed swap before reading the meta: a
+        live dir renamed aside but not replaced must not read as
+        'nothing applied' (which turns an already-applied pruned batch
+        into a spurious retention-gap error on a same-instance retry)."""
+        eng = self._engine(spark, tmp_path)
+        agg = IncrementalAggregate(
+            spark, str(tmp_path / "ivm"), ["repo"], self.SUMS
+        )
+        log = synthesize_changelog(spark, 600, n_repos=3, n_paths=15).cache()
+        entries = eng.replay(log, batch_size=200)
+        agg.advance(eng)
+        # retention prunes an APPLIED batch dir — legal workflow
+        shutil.rmtree(
+            os.path.join(
+                str(tmp_path / "changes"),
+                f"batch={entries[0]['batch_id']}",
+            )
+        )
+        # crash window: live dir renamed aside, replacement never landed
+        os.replace(agg.agg_dir, f"{agg.agg_dir}.old")
+        assert agg.advance(eng) == {"applied": 0}  # healed, no 'pruned'
+        assert agg.verify_against_state(eng)["ok"]
+
     def test_stream_restart_catches_up_missed_advance(
         self, spark, tmp_path
     ):
