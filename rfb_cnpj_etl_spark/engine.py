@@ -640,7 +640,11 @@ class CdcEngine:
         root = self.changes_dir
         if not os.path.isdir(root):
             return 0
-        dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+        dirs = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("batch=") and not d.endswith(".staging")
+        ]
         if len(dirs) <= retention:
             return 0
         cps = self._feed_checkpoints()
@@ -679,7 +683,7 @@ class CdcEngine:
         dirs = [
             os.path.join(root, d)
             for d in os.listdir(root)
-            if d.startswith("batch=")
+            if d.startswith("batch=") and not d.endswith(".staging")
         ]
         dirs.sort(key=os.path.getmtime)
         removed = 0
@@ -732,7 +736,7 @@ class CdcEngine:
             [
                 os.path.join(self.changes_dir, d)
                 for d in sorted(os.listdir(self.changes_dir))
-                if d.startswith("batch=")
+                if d.startswith("batch=") and not d.endswith(".staging")
             ]
             if os.path.isdir(self.changes_dir)
             else []
@@ -827,7 +831,32 @@ class CdcEngine:
         if batch_id == ids[-1]:
             # newest batch: the live state IS the snapshot — one state
             # scan, no feed fold (and no feed-coverage requirement,
-            # which is what lets a late-enabled feed bootstrap)
+            # which is what lets a late-enabled feed bootstrap). Guard
+            # the one crash window where the live state is AHEAD of the
+            # manifest (batch merged, manifest commit never landed):
+            # the feed publishes BEFORE the state mutates, so that
+            # window always leaves a published-but-uncommitted batch
+            # dir — refuse rather than label a snapshot containing the
+            # uncommitted batch's rows with the prior batch's id.
+            committed = set(ids)
+            stray = sorted(
+                d.split("=", 1)[1]
+                for d in (
+                    os.listdir(self.changes_dir)
+                    if os.path.isdir(self.changes_dir)
+                    else []  # late-enabled feed: nothing published yet
+                )
+                if d.startswith("batch=")
+                and not d.endswith(".staging")
+                and d.split("=", 1)[1] not in committed
+            )
+            if stray:
+                raise ValueError(
+                    f"feed dirs {stray} are published but not manifest-"
+                    "committed — the live state may already contain "
+                    "their mutations (merge-then-crash window); re-drive "
+                    "replay to commit them, then checkpoint"
+                )
             snap = self.state.read()
         else:
             snap = self.state_as_of(batch_id)

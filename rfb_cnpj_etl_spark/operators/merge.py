@@ -51,6 +51,12 @@ from .store import (  # noqa: F401  (re-exported for compatibility)
 )
 
 
+class TouchedSetMismatchError(RuntimeError):
+    """A merge wrote rows into buckets outside the precomputed touched
+    set (the probe and merge saw differently-normalized keys). Raised
+    BEFORE any state swap — the state table is guaranteed unchanged."""
+
+
 class StateTable(BucketedParquetStore):
     """A bucket-partitioned parquet table with MERGE apply.
 
@@ -277,10 +283,23 @@ class StateTable(BucketedParquetStore):
             feed_metrics = self._emit_changes(
                 incoming, lsn_col, op_col, touched, changes_out
             )
-        if self._resolve_mode(mode, batch_rows, touched) == "mor":
-            res = self._merge_mor(incoming, lsn_col, op_col, touched)
-        else:
-            res = self._merge_cow(incoming, lsn_col, op_col, touched)
+        try:
+            if self._resolve_mode(mode, batch_rows, touched) == "mor":
+                res = self._merge_mor(incoming, lsn_col, op_col, touched)
+            else:
+                res = self._merge_cow(incoming, lsn_col, op_col, touched)
+        except TouchedSetMismatchError:
+            # the feed just published above was diffed against a
+            # pre-image read from the SAME wrong touched set (keys in
+            # unprobed buckets misclassify as inserts). The state is
+            # guaranteed unchanged at this raise, so unpublish it —
+            # otherwise the re-driven batch would reuse the poisoned
+            # feed via the exactly-once reuse check.
+            if changes_out is not None and not feed_metrics.get(
+                "change_feed_reused"
+            ):
+                shutil.rmtree(changes_out, ignore_errors=True)
+            raise
         res.update(feed_metrics)
         return res
 
@@ -502,9 +521,17 @@ class StateTable(BucketedParquetStore):
 
         obs = Observation()
         feed = feed.observe(obs, F.count(F.lit(1)).alias("rows"))
-        staging = f"{out_dir}.staging"
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
+        # dot-prefixed staging name: a torn staging dir must be invisible
+        # to every feed consumer — change_feed()'s ``batch=`` listing and
+        # the streaming tail's ``batch=*`` glob both skip hidden dirs,
+        # so only the atomic rename below ever exposes feed data.
+        parent, base = os.path.split(out_dir)
+        staging = os.path.join(parent, f".{base}.staging")
+        # clean a torn dir under the new hidden name AND the legacy
+        # visible one (pre-hidden-staging crashes left `batch=<id>.staging`)
+        for torn in (staging, f"{out_dir}.staging"):
+            if os.path.isdir(torn):
+                shutil.rmtree(torn)
         feed.write.mode("overwrite").parquet(staging)
         try:
             rows = int(obs.get["rows"])
@@ -579,7 +606,7 @@ class StateTable(BucketedParquetStore):
         unexpected = sorted(set(staged) - set(touched))
         if unexpected:
             shutil.rmtree(staging, ignore_errors=True)
-            raise RuntimeError(
+            raise TouchedSetMismatchError(
                 f"merge produced rows in buckets {unexpected} outside the "
                 f"precomputed touched set {sorted(touched)}; the touched-"
                 "bucket probe must run on keys normalized identically to "
@@ -664,7 +691,7 @@ class StateTable(BucketedParquetStore):
         unexpected = sorted(set(staged) - set(touched))
         if unexpected:
             shutil.rmtree(staging, ignore_errors=True)
-            raise RuntimeError(
+            raise TouchedSetMismatchError(
                 f"merge produced rows in buckets {unexpected} outside the "
                 f"precomputed touched set {sorted(touched)}; the touched-"
                 "bucket probe must run on keys normalized identically to "

@@ -199,7 +199,7 @@ def change_feed_stream(
             [
                 os.path.join(changes_dir, d)
                 for d in sorted(os.listdir(changes_dir))
-                if d.startswith("batch=")
+                if d.startswith("batch=") and not d.endswith(".staging")
             ]
             if os.path.isdir(changes_dir)
             else []

@@ -178,6 +178,57 @@ class TestChangeFeedExactlyOnce:
         assert feed_tuples(spark.read.parquet(out)) == first
         assert t.read().count() == 1
 
+    def test_torn_staging_invisible_to_feed_consumers(
+        self, spark, tmp_path
+    ):
+        """A torn staging dir (crash mid feed write) must never be read
+        as published data — fresh staging is dot-hidden, and consumers
+        defensively skip the legacy `batch=<id>.staging` name too."""
+        eng = CdcEngine(
+            spark,
+            str(tmp_path / "state"),
+            str(tmp_path / "m.jsonl"),
+            normalize=None,
+            changes_dir=str(tmp_path / "changes"),
+        )
+        eng.replay(log_df(spark, [row("r1", "a", "v1", 1)]), batch_size=10)
+        for torn in ("batch=zz.staging", ".batch=zz.staging"):
+            d = os.path.join(eng.changes_dir, torn)
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0.parquet"), "w") as f:
+                f.write("torn write")
+        # consumers: batch listing, streaming schema inference, pruning
+        assert feed_tuples(eng.change_feed()) == [
+            ("r1", "a", "insert", 1, None)
+        ]
+        from rfb_cnpj_etl_spark.streaming.pipeline import change_feed_stream
+
+        assert change_feed_stream(spark, eng.changes_dir) is not None
+        assert eng._prune_change_feed(retention=5) == 0
+
+    def test_wrong_touched_set_unpublishes_its_feed(self, spark, tmp_path):
+        """The touched-set guard fires AFTER the feed publish: the feed
+        was diffed against a pre-image missing the unprobed buckets, so
+        the aborted merge must unpublish it — a later correct re-drive
+        would otherwise reuse the poisoned feed via exactly-once."""
+        from rfb_cnpj_etl_spark.operators.merge import (
+            TouchedSetMismatchError,
+        )
+
+        state = str(tmp_path / "state")
+        out = str(tmp_path / "changes/batch=b1")
+        t = StateTable(spark, state, ["repo", "path"], buckets=8)
+        batch = log_df(spark, [row("r", f"p{i}", "v", i) for i in range(32)])
+        real = t.touched_buckets(batch)
+        wrong = [b for b in range(8) if b not in real] or [real[0]]
+        with pytest.raises(TouchedSetMismatchError):
+            t.merge(batch, touched=wrong[:1], changes_out=out)
+        assert not os.path.isdir(out)  # poisoned feed unpublished
+        assert not t.exists()  # and the state never mutated
+        m = t.merge(batch, changes_out=out)  # correct re-drive
+        assert m["change_rows"] == 32
+        assert spark.read.parquet(out).count() == 32
+
     def test_torn_staging_is_recomputed(self, spark, tmp_path):
         state = str(tmp_path / "state")
         out = str(tmp_path / "changes/batch=b1")

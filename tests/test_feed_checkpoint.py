@@ -212,6 +212,38 @@ class TestCheckpointFeed:
         assert not os.path.isdir(torn)  # staging consumed by the publish
         assert bid in eng._feed_checkpoints()
 
+    def test_newest_checkpoint_refuses_uncommitted_live_state(
+        self, spark, tmp_path
+    ):
+        """Merge-then-crash window: the state already holds a batch the
+        manifest never committed (the feed publishes BEFORE the state
+        mutates, so that batch's feed dir exists uncommitted). The
+        newest-batch fast path must refuse — a live-state snapshot
+        labeled with the prior batch id would contain the uncommitted
+        rows — and work again once replay re-drives the batch."""
+        import json as _json
+
+        eng = engine(spark, tmp_path)
+        eng.replay(three_window_log(spark), batch_size=10)
+        # commits live as one segment file each until the fold; drop
+        # the newest = the crash landed just before its manifest commit
+        segs_dir = str(tmp_path / "e_m.jsonl.segs")
+        newest = sorted(os.listdir(segs_dir))[-1]
+        with open(os.path.join(segs_dir, newest), encoding="utf-8") as f:
+            assert "mode" in _json.load(f)  # it IS the merge commit
+        os.remove(os.path.join(segs_dir, newest))
+        eng2 = engine(spark, tmp_path)
+        with pytest.raises(ValueError, match="not manifest-committed"):
+            eng2.checkpoint_feed()
+        # explicit non-newest checkpoints fold committed feed dirs only
+        # and stay correct in the window
+        committed = [e["batch_id"] for e in eng2._merge_entries()]
+        assert eng2.checkpoint_feed(committed[0])["reused"] is False
+        # re-driving replay recommits the batch; the fast path unblocks
+        eng2.replay(three_window_log(spark), batch_size=10)
+        res = eng2.checkpoint_feed()
+        assert res["reused"] is False and res["rows"] == 8
+
     def test_errors(self, spark, tmp_path):
         eng = engine(spark, tmp_path)
         with pytest.raises(ValueError, match="no applied batches"):
